@@ -1,0 +1,25 @@
+"""Declared query inventory (SURVEY.md §2.2 binding contract).
+
+Importing this package populates the registry with every implemented
+query. Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus,
+where SQL-expressible, a DuckDB oracle SQL string the driver
+hash-matches at sf0.01.
+"""
+
+from .registry import ORACLES, QUERIES, query  # noqa: F401
+
+# import for side effects: each module registers its queries
+from . import tier0  # noqa: F401,E402
+
+try:
+    from . import tier1  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    from . import tier2  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    from . import tier3  # noqa: F401,E402
+except ImportError:
+    pass

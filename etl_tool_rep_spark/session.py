@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-stable, scale-ready execution:
+AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), UTC session timezone (hash-stable timestamps vs the
+DuckDB oracle), Arrow transfer for the Pandas-UDF slow path.
+
+On a real cluster the same factory applies; only master/memory come
+from the environment (spark-submit), never hardcoded here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[N] testing: match core count, not the 200 default.
+    # On a cluster, override via spark-submit --conf.
+    "spark.sql.shuffle.partitions": "32",
+    # 64 MiB input splits keep ~100 TB scans at ~1.6M tasks w/ AQE
+    # coalescing; at local SF it just avoids tiny-partition overhead.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # broadcast anything under 64 MiB — mapping/dim tables.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+}
+
+
+def get_spark(app_name: str = "etl_tool_rep_spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the session. ``master`` defaults to
+    ``local[$SPARK_GRAFT_CPUS]`` locally; on a cluster leave None and
+    let spark-submit decide."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
