@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -21,9 +23,24 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Columns written by the corpus generator with parquet TIMESTAMP(NANOS),
+# which Spark's vectorized reader rejects; with
+# spark.sql.legacy.parquet.nanosAsLong they arrive as nanos-since-epoch
+# BIGINT and are normalized back to TimestampType here (integer div —
+# a double division would lose precision at 1e18 nanos).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one table."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Lazy parquet scan for one table (nanos-timestamp normalized)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType,
+                                            T.LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -31,7 +48,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load(spark, sf_dir, name)
     return out
 
 

@@ -29,6 +29,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # broadcast anything under 64 MiB — mapping/dim tables.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # corpus events.parquet carries TIMESTAMP(NANOS); read as long,
+    # catalog.load converts back to TimestampType.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
