@@ -1,0 +1,92 @@
+"""Structured Streaming wiring for the events surface.
+
+Batch Tier-2 queries (queries/tier2.py) and these streaming forms
+share the same window expressions — the point of Spark's unified
+model. Here we add the streaming-only pieces: watermarks for late
+data, file-source discovery, and availableNow (catch-up) triggers.
+
+At scale: the file source is a stand-in for Kafka
+(``spark.readStream.format("kafka")`` — same downstream plan);
+watermark delay bounds state size, which is what keeps a 1000-executor
+stateful job stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      fmt: str = "json",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based event stream with an explicit schema (streaming
+    sources must never infer schemas — a schema change mid-stream is a
+    pipeline bug, not a convenience)."""
+    reader = spark.readStream.format(fmt).schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_agg_stream(events: DataFrame,
+                        window: str = "1 hour",
+                        slide: str | None = None,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling/sliding windowed counts+sums under a watermark.
+
+    The watermark bounds how late an event may arrive and still update
+    its window; state for windows older than (max event time -
+    watermark) is dropped — the knob that makes unbounded streams run
+    in bounded memory."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(win, "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+def sessionized_stream(events: DataFrame,
+                       gap: str = "30 minutes",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming session windows (state merges as events arrive)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events", "total_value"))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      timeout_s: int = 120) -> DataFrame:
+    """Run a streaming plan over all currently-available input
+    (Trigger.AvailableNow), collect results via the memory sink, and
+    return them as a batch DataFrame. Used by tests to assert
+    stream==batch equivalence."""
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(query_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
