@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are pure JVM-side Column expressions (higher-order array
+functions — no Python UDFs, stays in whole-stage codegen):
+
+* exact:    normalize -> group-by -> keep first (one shuffle on the
+            normalized key; at 100 TB this is the cheapest possible
+            exact dedup: map-side partial aggregation collapses
+            duplicates before the shuffle).
+* MinHash:  word-shingles -> k permuted min-hashes -> banded LSH ->
+            candidate pairs within equal (band, band-hash) buckets ->
+            exact-Jaccard verification of candidates only. The
+            pairwise work is confined to same-bucket groups, never
+            all-pairs.
+* SimHash:  64-bit sign-aggregated token hashes; near-dup candidates
+            share one of four 16-bit bands, verified by Hamming
+            distance (bit_count of xor).
+* n-gram Jaccard: exact 3-gram Jaccard within a cheap blocking key
+            (same source) — the brute-force baseline the LSH variants
+            approximate.
+
+All randomness is a fixed seeded permutation table — results are fully
+deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: permutation arithmetic a*h+b stays < 2^62,
+# safely inside BIGINT.
+_P = (1 << 31) - 1
+
+_RNG = random.Random(42)
+_PERMS: list[tuple[int, int]] = [
+    (_RNG.randrange(1, _P), _RNG.randrange(0, _P)) for _ in range(64)]
+
+DEFAULT_K = 64          # minhash signature length
+DEFAULT_BANDS = 16      # 16 bands x 4 rows
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for exact dedup: casefold, trim, collapse
+    whitespace."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per normalized text: keeper = min id, with the
+    duplicate count. Shuffles once on the normalized key."""
+    norm = normalize_text(F.col(text_col)).alias("_norm")
+    return (df.select(F.col(id_col), norm)
+              .groupBy("_norm")
+              .agg(F.min(id_col).alias(id_col),
+                   F.count(F.lit(1)).alias("dup_count"))
+              .drop("_norm"))
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram set as an array column (JVM-side)."""
+    toks = F.split(text_col, r"\s+")
+    upper = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    # try_element_at: docs shorter than n words fall back to one
+    # truncated shingle (concat_ws skips the NULLs) instead of
+    # throwing under ANSI mode (Spark 4 default).
+    grams = F.transform(
+        F.sequence(F.lit(1), upper),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + j) for j in range(n)]))
+    return F.array_distinct(grams)
+
+
+def _shingle_hashes(shingles: Column) -> Column:
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def _perm_fn(a: int, b: int):
+    # closure (NOT default-arg lambda: PySpark counts lambda params
+    # to pick the higher-order-function arity)
+    return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+
+
+def minhash_signature(shingle_hash_col: Column,
+                      k: int = DEFAULT_K) -> Column:
+    """k-permutation MinHash signature; permutations are a fixed
+    seeded table, so signatures are stable across runs/partitions."""
+    mins = [
+        F.array_min(F.transform(shingle_hash_col, _perm_fn(a, b)))
+        for a, b in _PERMS[:k]]
+    return F.array(*mins)
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            k: int = DEFAULT_K,
+                            bands: int = DEFAULT_BANDS,
+                            min_jaccard: float = 0.0) -> DataFrame:
+    """LSH candidate pairs with estimated (signature-agreement) and
+    exact (shingle-set) Jaccard. Returns (id_1, id_2, est_jaccard,
+    jaccard) with id_1 < id_2."""
+    rows = k // bands
+    base = (df.select(F.col(id_col).alias("_id"),
+                      word_shingles(F.col(text_col)).alias("_sh"))
+              .withColumn("_shh", _shingle_hashes(F.col("_sh")))
+              .withColumn("_sig", minhash_signature(F.col("_shh"), k))
+              .drop("_shh"))
+    base.persist()
+
+    band_structs = F.array(*[
+        F.struct(F.lit(j).alias("band"),
+                 F.hash(F.slice("_sig", j * rows + 1, rows)).alias("bh"))
+        for j in range(bands)])
+    banded = (base.select("_id", F.explode(band_structs).alias("b"))
+                  .select("_id", "b.band", "b.bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a._id") < F.col("b._id")))
+              .select(F.col("a._id").alias("id_1"),
+                      F.col("b._id").alias("id_2"))
+              .distinct())
+
+    s1 = base.select(F.col("_id").alias("id_1"),
+                     F.col("_sig").alias("_sig1"),
+                     F.col("_sh").alias("_sh1"))
+    s2 = base.select(F.col("_id").alias("id_2"),
+                     F.col("_sig").alias("_sig2"),
+                     F.col("_sh").alias("_sh2"))
+    est = (F.aggregate(
+        F.zip_with("_sig1", "_sig2",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(float(k)))
+    exact = (F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+             / F.size(F.array_union("_sh1", "_sh2")))
+    out = (pairs.join(s1, "id_1").join(s2, "id_2")
+                .withColumn("est_jaccard", est)
+                .withColumn("jaccard", exact)
+                .filter(F.col("jaccard") >= min_jaccard)
+                .select("id_1", "id_2",
+                        F.round("est_jaccard", 6).alias("est_jaccard"),
+                        F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# SQL forms (the Python shiftright/shiftleft wrappers only accept
+# int shift amounts; the SQL expressions accept columns, which the
+# per-bit lambda needs).
+_SIMHASH_COUNTS_SQL = """
+aggregate(
+  transform(split({text}, '\\\\s+'), t -> xxhash64(t)),
+  array_repeat(cast(0 as bigint), 64),
+  (acc, h) -> zip_with(
+      acc,
+      transform(sequence(0, 63),
+                j -> cast((shiftright(h, j) & 1) as bigint) * 2 - 1),
+      (a, x) -> a + x))
+"""
+
+_SIMHASH_ASSEMBLE_SQL = """
+cast(
+  aggregate(
+    transform(sequence(0, 62),
+              j -> if(element_at({counts}, j + 1) > 0,
+                      shiftleft(cast(1 as bigint), j),
+                      cast(0 as bigint))),
+    cast(0 as bigint), (acc, v) -> acc + v)
+  + if(element_at({counts}, 64) > 0, -9223372036854775808, 0)
+as bigint)
+"""
+
+
+def simhash64(text_col_sql: str) -> Column:
+    """64-bit SimHash over whitespace tokens (frequency-weighted:
+    repeated tokens contribute repeatedly). Single aggregate pass
+    builds all 64 bit-counters at once, then bit assembly.
+
+    Takes a SQL expression string (usually a backticked column name)
+    rather than a Column — see _SIMHASH_COUNTS_SQL note."""
+    counts = _SIMHASH_COUNTS_SQL.format(text=text_col_sql)
+    return F.expr(_SIMHASH_ASSEMBLE_SQL.format(counts=counts))
+
+
+def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit
+    bands (pigeonhole: hamming<=3 over 4 bands guarantees an equal
+    band), verified with exact Hamming distance."""
+    base = (df.select(F.col(id_col).alias("_id"),
+                      F.col(text_col).alias("_txt"))
+              .withColumn("_cnt", F.expr(
+                  _SIMHASH_COUNTS_SQL.format(text="`_txt`")))
+              .withColumn("_sh", F.expr(
+                  _SIMHASH_ASSEMBLE_SQL.format(counts="`_cnt`")))
+              .select("_id", "_sh"))
+    base.persist()
+    band_structs = F.array(*[
+        F.struct(F.lit(j).alias("band"),
+                 F.shiftrightunsigned("_sh", j * 16)
+                  .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+        for j in range(4)])
+    banded = (base.select("_id", F.explode(band_structs).alias("b"))
+                  .select("_id", "b.band", "b.bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a._id") < F.col("b._id")))
+              .select(F.col("a._id").alias("id_1"),
+                      F.col("b._id").alias("id_2"))
+              .distinct())
+    h1 = base.select(F.col("_id").alias("id_1"), F.col("_sh").alias("_h1"))
+    h2 = base.select(F.col("_id").alias("id_2"), F.col("_sh").alias("_h2"))
+    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
+    return (pairs.join(h1, "id_1").join(h2, "id_2")
+                 .withColumn("hamming", ham.cast("bigint"))
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_1", "id_2", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", block_col: str = "source",
+                        n: int = 3,
+                        min_jaccard: float = 0.05) -> DataFrame:
+    """Exact n-gram Jaccard within a blocking key: explode distinct
+    n-grams, self-join on (gram, block) to count intersections, then
+    |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing >=1 gram ever
+    materialize — the blocking + gram join bounds the pair space."""
+    tri = (df.select(F.col(id_col).alias("_id"),
+                     F.col(block_col).alias("_blk"),
+                     F.explode(word_shingles(F.col(text_col), n))
+                      .alias("_g"))
+             .distinct())
+    counts = tri.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = tri.alias("a"), tri.alias("b")
+    inter = (a.join(b, (F.col("a._g") == F.col("b._g"))
+                    & (F.col("a._blk") == F.col("b._blk"))
+                    & (F.col("a._id") < F.col("b._id")))
+              .groupBy(F.col("a._id").alias("id_1"),
+                       F.col("b._id").alias("id_2"))
+              .agg(F.count(F.lit(1)).alias("_ni")))
+    ca = counts.select(F.col("_id").alias("id_1"), F.col("_n").alias("_na"))
+    cb = counts.select(F.col("_id").alias("id_2"), F.col("_n").alias("_nb"))
+    jac = (F.col("_ni") * F.lit(1.0)
+           / (F.col("_na") + F.col("_nb") - F.col("_ni")))
+    return (inter.join(ca, "id_1").join(cb, "id_2")
+                 .filter(jac >= min_jaccard)
+                 .select("id_1", "id_2", F.round(jac, 6).alias("jaccard")))

@@ -1,0 +1,344 @@
+"""Tier 3 — LLM-data-pipeline operators over documents/embeddings
+(SURVEY.md §2.2 + training-data extensions).
+
+SQL-expressible operators carry exact DuckDB oracles (md5 and regex
+semantics line up across engines); the LSH/sketch operators
+(minhash/simhash/IVF) are deterministic but engine-specific
+(xxhash64), so they are declared rows-only and verified structurally
+in tests (pytest: planted-duplicate recovery, ANN recall floor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup as D
+from ..operators import knn as K
+from ..operators import multimodal as M
+from ..operators import text as X
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+@query(
+    "exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+    FROM (SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                     AS norm
+          FROM documents)
+    GROUP BY norm
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one shuffle, map-side partial
+    aggregation collapses duplicates before the exchange."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@query("near_dedup_minhash")  # rows-only: xxhash64 signatures
+def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (64 hashes, 16 bands) with
+    exact-Jaccard verification of candidates only."""
+    return D.minhash_candidate_pairs(
+        load(spark, sf_dir, "documents"), min_jaccard=0.05)
+
+
+@query("simhash_dedup")  # rows-only: xxhash64-based sketch
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (banded candidates, Hamming<=3)."""
+    return D.simhash_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, str_split(text, ' ') AS w FROM documents
+    ), tri AS (
+      SELECT DISTINCT doc_id, source,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM toks, LATERAL (SELECT unnest(range(greatest(len(w) - 2, 0)))
+                          AS i) s
+    ), counts AS (
+      SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS ni
+      FROM tri a JOIN tri b
+        ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_1, i.id_2,
+           round(i.ni * 1.0 / (ca.n + cb.n - i.ni), 6) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.id_1
+    JOIN counts cb ON cb.doc_id = i.id_2
+    WHERE i.ni * 1.0 / (ca.n + cb.n - i.ni) >= 0.05
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within a same-source block — the
+    brute-force baseline the LSH variants approximate."""
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                 min_jaccard=0.05)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = """list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v)))"""
+
+
+@query(
+    "embedding_knn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             round({_COS}, 7) AS score
+      FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact
+    baseline (one scan per query batch, no shuffle before the bounded
+    top-k)."""
+    em = load(spark, sf_dir, "embeddings")
+    out = K.brute_force_topk(
+        queries=em.filter(F.col("vec_id") < 5), candidates=em,
+        query_id="vec_id", cand_id="vec_id",
+        query_vec="embedding", cand_vec="embedding", k=10)
+    return out.toDF("query_id", "vec_id", "score", "rank")
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           round({_COS}, 7) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.4
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — chosen
+    to be reachable on this corpus, max off-diagonal cosine ~0.51).
+    At scale, replace the all-pairs join with LSH bucketing
+    (random-hyperplane signs) before the exact check."""
+    em = load(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("vec_id_1"),
+                  F.col("embedding").alias("_va"))
+    b = em.select(F.col("vec_id").alias("vec_id_2"),
+                  F.col("embedding").alias("_vb"))
+    cos = K.cosine(F.col("_va"), F.col("_vb"))
+    return (a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+             .withColumn("_cos", cos)
+             .filter(F.col("_cos") >= 0.4)
+             .select("vec_id_1", "vec_id_2",
+                     F.round("_cos", 7).alias("cos_sim")))
+
+
+@query("ann_ivf_knn")  # rows-only: index layout is engine-specific
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic coarse cells
+    (every 53rd vector as centroid), nprobe=3. Recall vs brute force
+    is asserted in tests."""
+    em = load(spark, sf_dir, "embeddings")
+    cents = (em.filter(F.col("vec_id") % 53 == 0)
+               .select(F.col("vec_id").alias("centroid_id"),
+                       F.col("embedding").alias("centroid_vec")))
+    assigned = K.ivf_assign(em, cents, "vec_id", "embedding")
+    return K.ivf_topk(
+        queries=em.filter(F.col("vec_id") < 5), assigned=assigned,
+        centroids=cents, query_id="vec_id", query_vec="embedding",
+        cand_id="vec_id", cand_vec="embedding", k=10, nprobe=3) \
+        .toDF("query_id", "vec_id", "score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(str_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(str_split_regex(text, '\\s+')))
+                AS BIGINT) AS n_unique_words,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(str_split_regex(text, '\\s+')), 6) AS avg_word_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    nw = F.size(words).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        nw.alias("n_words"),
+        F.size(F.array_distinct(words)).cast("bigint")
+         .alias("n_unique_words"),
+        F.round(F.length(F.regexp_replace("text", " ", ""))
+                 .cast("double") / nw, 6).alias("avg_word_len"))
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(str_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS BIGINT)
+               AS bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex + chars/4 token estimates."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.n_words(F.col("text")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"))
+         .cast("bigint").alias("bpe_tokens"),
+        X.approx_llm_tokens(F.col("text")).alias("approx_llm_tokens"))
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(str_split_regex(text, '\\s+')) AS nw,
+             len(regexp_extract_all(lower(text),
+                 '\\b(the|a|of|and|is|to)\\b')) AS nstop,
+             len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS npunct,
+             greatest(length(text), 1) AS nc
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(nw / 50.0, 1.0)
+                 + 0.3 * least(nstop * 1.0 / greatest(nw, 1) * 5, 1.0)
+                 + 0.3 * (1 - least(npunct * 1.0 / nc * 10, 1.0)), 6)
+               AS quality
+    FROM s
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    X.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b(the|a|of|and|is|to)\\b')) AS DOUBLE) AS s_en,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b(le|la|les|et|des|une)\\b')) AS DOUBLE) AS s_fr,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b(der|die|das|und|ist|ein)\\b')) AS DOUBLE) AS s_de,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b(el|la|los|de|que|una)\\b')) AS DOUBLE) AS s_es,
+             CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) * 3
+                 AS s_zh
+      FROM documents
+    ), m AS (
+      SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN best <= 0 THEN 'und'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM m
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word/CJK language ID. The corpus's lang labels are
+    synthetic (text carries no real language signal) so the contract
+    here is engine parity + determinism, not accuracy."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"),
+                    X.lang_id(F.col("text")).alias("predicted_lang"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fp_md5,
+           substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+                  1, 16) AS fp64
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = X.fingerprint(F.col("text"))
+    return d.select("doc_id", fp.alias("fp_md5"),
+                    F.substring(fp, 1, 16).alias("fp64"))
+
+
+@query(
+    "lang_filter_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang = 'en'
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def lang_filter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filter + deterministic hash sample (md5 prefix, 2/16
+    rate) — stable across engines/runs/partitionings, unlike rand()."""
+    d = load(spark, sf_dir, "documents")
+    return (d.filter((F.col("lang") == "en")
+                     & X.deterministic_sample(F.col("doc_id"), 2))
+             .select("doc_id", "lang", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query("multimodal_features")  # rows-only: mapInPandas stage
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct -> Arrow-batched mapInPandas
+    feature extraction (decode stage stubbed; see
+    operators/multimodal.py)."""
+    d = load(spark, sf_dir, "documents")
+    feats = M.extract_features(M.attach_payload(d))
+    return feats.select("doc_id", "n_bytes",
+                        F.round(F.element_at("features", 5), 6)
+                         .alias("mean_byte"),
+                        F.element_at("features", 8).alias("n_distinct_bytes"))
