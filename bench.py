@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing full plan
+execution via the noop sink (no driver-side collect cost), and prints:
+
+    {"metric": "total_headline_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_tool_rep_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # reference-faithful flagship
+    "multi_rule_pipeline",
+    # relational core
+    "groupby_agg", "broadcast_join", "inner_join", "window_running",
+    "topk_limit", "grouping_rollup", "pivot_op",
+    # temporal
+    "tumbling_window_agg", "session_window_agg", "asof_join",
+    # LLM-pipeline
+    "exact_dedup", "near_dedup_minhash", "embedding_knn",
+    "token_count", "quality_score",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    from etl_tool_rep_spark.queries import QUERIES
+
+    # JIT/IO + Python-worker warmup outside the timings
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    from pyspark.sql import functions as F
+    from etl_tool_rep_spark.functions import sigmoid_score
+    (spark.range(1000).select(sigmoid_score(F.col("id").cast("double")))
+     .write.format("noop").mode("overwrite").save())
+
+    # min of 2 iterations: first-run JIT/codegen/GC noise on local[32]
+    # is 2-3x on some queries; steady-state is what scales.
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

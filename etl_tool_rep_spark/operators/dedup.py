@@ -78,20 +78,32 @@ def _shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
 
 
-def _perm_fn(a: int, b: int):
-    # closure (NOT default-arg lambda: PySpark counts lambda params
-    # to pick the higher-order-function arity)
-    return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
-
-
 def minhash_signature(shingle_hash_col: Column,
                       k: int = DEFAULT_K) -> Column:
     """k-permutation MinHash signature; permutations are a fixed
-    seeded table, so signatures are stable across runs/partitions."""
-    mins = [
-        F.array_min(F.transform(shingle_hash_col, _perm_fn(a, b)))
-        for a, b in _PERMS[:k]]
-    return F.array(*mins)
+    seeded table, so signatures are stable across runs/partitions.
+
+    Built as ONE nested higher-order expression (zip_with over the
+    permutation-constant arrays) instead of k parallel array_min
+    expressions — the flat form made Catalyst chew on a 64-branch
+    expression tree (measured ~10s of planning overhead at any data
+    size)."""
+    a_arr = F.array(*[F.lit(a) for a, _ in _PERMS[:k]])
+    b_arr = F.array(*[F.lit(b) for _, b in _PERMS[:k]])
+    return F.zip_with(
+        a_arr, b_arr,
+        lambda a, b: F.array_min(F.transform(
+            shingle_hash_col, lambda h: F.pmod(h * a + b, F.lit(_P)))))
+
+
+def _minhash_sig_udf(k: int):
+    """Arrow-vectorized signature kernel (see functions/udfs.py). The
+    JVM higher-order-function form (minhash_signature) evaluates
+    interpreted at ~17ms/doc; the numpy form is bit-identical and
+    ~100x faster — kept as the default execution path, with the JVM
+    form retained as the no-Python reference implementation."""
+    from ..functions.udfs import make_minhash_sig_udf
+    return make_minhash_sig_udf(_PERMS[:k], _P)
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -103,12 +115,21 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     exact (shingle-set) Jaccard. Returns (id_1, id_2, est_jaccard,
     jaccard) with id_1 < id_2."""
     rows = k // bands
+    # Shingling + k permutations is the compute-dense stage (higher-
+    # order functions evaluate interpreted, not codegen): spread it
+    # across cores even when the source is one small parquet split —
+    # at scale the scan is already many splits and this coalesces into
+    # the shuffle AQE would do anyway.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     base = (df.select(F.col(id_col).alias("_id"),
-                      word_shingles(F.col(text_col)).alias("_sh"))
+                      F.col(text_col).alias("_txt"))
+              .repartition(n_part, "_id")
+              .withColumn("_sh", word_shingles(F.col("_txt")))
               .withColumn("_shh", _shingle_hashes(F.col("_sh")))
-              .withColumn("_sig", minhash_signature(F.col("_shh"), k))
-              .drop("_shh"))
+              .withColumn("_sig", _minhash_sig_udf(k)(F.col("_shh")))
+              .drop("_shh", "_txt"))
     base.persist()
+    base.count()  # materialize once; four downstream branches reuse it
 
     band_structs = F.array(*[
         F.struct(F.lit(j).alias("band"),
