@@ -1,0 +1,3 @@
+from .writers import write_csv, write_parquet, write_partitioned
+
+__all__ = ["write_csv", "write_parquet", "write_partitioned"]

@@ -1,0 +1,94 @@
+"""File readers — parity with the reference's ``smart_load``
+(reference main.py:69-94): CSV (S1), pipe-delimited .txt (S2), Excel
+(S3), JSON (S4), Parquet (S5), delimiter-sniffing fallback (S6), with
+extension-based dispatch.
+
+Spark-first mapping: everything is a distributed ``spark.read`` except
+Excel, which has no native Spark reader — it loads driver-side via
+pandas/openpyxl and converts. That is a deliberate scale boundary:
+Excel files are human-authored small artifacts; anything big arrives
+as CSV/JSON/Parquet and streams through executors.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(spark: SparkSession, path: str, sep: str = ",",
+             header: bool = True, infer: bool = True) -> DataFrame:
+    """S1 (main.py:76-77): header + schema inference like pandas
+    read_csv. At scale pass an explicit schema instead — inference
+    costs an extra pass over the data."""
+    return (spark.read
+            .option("header", header)
+            .option("inferSchema", infer)
+            .option("sep", sep)
+            .csv(path))
+
+
+def read_pipe(spark: SparkSession, path: str) -> DataFrame:
+    """S2 (main.py:78-79): .txt files are pipe-delimited."""
+    return read_csv(spark, path, sep="|")
+
+
+def read_json(spark: SparkSession, path: str) -> DataFrame:
+    """S4 (main.py:82-83): line-delimited or records-array JSON.
+    multiLine handles the pandas-style records array; JSONL streams
+    better at scale."""
+    df = spark.read.json(path)
+    if df.columns == ["_corrupt_record"]:
+        df = spark.read.option("multiLine", True).json(path)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S5 (main.py:84-85)."""
+    return spark.read.parquet(path)
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """S3 (main.py:80-81). Driver-side pandas/openpyxl -> DataFrame.
+    Gated: openpyxl is not in every environment."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Excel reads need openpyxl (not installed in this "
+            "environment); convert to CSV/Parquet instead") from exc
+    import pandas as pd
+    return spark.createDataFrame(pd.read_excel(path))
+
+
+def sniff_delimiter(path: str, sample_bytes: int = 64 * 1024) -> str:
+    """S6 (main.py:86-91): csv.Sniffer over a driver-side head sample —
+    the file itself is then read distributed with the detected
+    delimiter."""
+    with open(path, "r", newline="", errors="replace") as fh:
+        sample = fh.read(sample_bytes)
+    return csv.Sniffer().sniff(sample).delimiter
+
+
+def read_sniffed(spark: SparkSession, path: str) -> DataFrame:
+    return read_csv(spark, path, sep=sniff_delimiter(path))
+
+
+_DISPATCH = {
+    ".csv": read_csv,
+    ".txt": read_pipe,
+    ".json": read_json,
+    ".parquet": read_parquet,
+    ".xlsx": read_excel,
+    ".xls": read_excel,
+}
+
+
+def smart_load(spark: SparkSession, path: str) -> DataFrame:
+    """Extension dispatch mirroring main.py:74-88; unknown extensions
+    fall back to delimiter sniffing (main.py:86-88)."""
+    ext = os.path.splitext(path)[1].lower()
+    reader = _DISPATCH.get(ext, read_sniffed)
+    return reader(spark, path)
