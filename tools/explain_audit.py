@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Physical-plan audit: print formatted plans for the headline queries
+and flag scale hazards (missing filter pushdown, unexpected
+sort-merge joins of small dims, full-column scans, cartesian
+products).
+
+    python tools/explain_audit.py [names...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_tool_rep_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+# queries where an all-pairs/nested-loop shape is the intended
+# algorithm (bounded by tiny query/centroid sides)
+_NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
+                   "theta_join_range"}
+# queries intentionally scanning whole small tables w/o filters
+_NO_FILTER_OK = True  # pushdown flagged only when a filter exists
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    flags = []
+    if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) \
+            and name not in _NESTED_LOOP_OK:
+        flags.append("nested-loop/cartesian join (unexpected)")
+    n_exch = len(re.findall(r"Exchange hashpartitioning", plan))
+    if n_exch > 5:
+        flags.append(f"{n_exch} hash exchanges")
+    if "SortMergeJoin" in plan and ("broadcast" in name
+                                    or "lookup" in name):
+        flags.append("SortMergeJoin where broadcast expected")
+    if "Filter (" in plan and "Scan parquet" in plan \
+            and "PushedFilters: []" in plan:
+        flags.append("filter present but nothing pushed to scan")
+    if re.search(r"BatchEvalPython", plan):
+        flags.append("row-at-a-time Python UDF in plan")
+    return flags
+
+
+def formatted_plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    try:
+        return jqe.explainString(
+            df._sc._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+    except Exception:  # noqa: BLE001 — fall back to simple string
+        return jqe.executedPlan().toString()
+
+
+def main() -> None:
+    spark = get_spark("explain_audit")
+    from etl_tool_rep_spark.queries import QUERIES
+
+    names = sys.argv[1:] or sorted(QUERIES)
+    for name in names:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        flags = audit_plan(name, plan)
+        status = " | ".join(flags) if flags else "clean"
+        print(f"=== {name}: {status}")
+        if len(sys.argv) > 1:  # detail only when explicitly named
+            print(plan)
+
+
+if __name__ == "__main__":
+    main()
