@@ -1,0 +1,286 @@
+"""Tier 1b — extended relational surface: statistical aggregates,
+percentiles, collected lists, subquery shapes, richer window frames.
+
+Same hash-stability rules as tier1 (decimal routing, 6-decimal
+rounding for moment-based statistics whose parallel accumulation
+differs from a serial oracle, unique sort tie-breaks, sorted arrays
+for collect_* whose accumulation order is partition-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+
+@query(
+    "stats_funcs",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           round(stddev_samp(c_acctbal), 6) AS bal_stddev,
+           round(var_samp(c_acctbal), 6) AS bal_var,
+           round(avg(c_acctbal), 6) AS bal_avg,
+           round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6)
+               AS bal_key_corr,
+           round(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6)
+               AS bal_nation_cov
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (stddev/var/corr/covar) — rounded at 6dp:
+    Spark's parallel co-moment merge and DuckDB's serial pass differ
+    in float ulps."""
+    c = load(spark, sf_dir, "customer")
+    return (c.groupBy(F.col("c_mktsegment").alias("segment"))
+             .agg(F.round(F.stddev_samp("c_acctbal"), 6)
+                   .alias("bal_stddev"),
+                  F.round(F.var_samp("c_acctbal"), 6).alias("bal_var"),
+                  F.round(F.avg("c_acctbal"), 6).alias("bal_avg"),
+                  F.round(F.corr("c_acctbal",
+                                 F.col("c_custkey").cast("double")), 6)
+                   .alias("bal_key_corr"),
+                  F.round(F.covar_samp(
+                      "c_acctbal", F.col("c_nationkey").cast("double")), 6)
+                   .alias("bal_nation_cov")))
+
+
+@query(
+    "percentile_agg",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles with linear interpolation (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). For 100 TB use
+    approx_percentile — exact percentile holds the group in memory."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_returnflag").alias("returnflag"))
+              .agg(F.round(F.percentile("l_quantity", F.lit(0.25)), 6)
+                    .alias("q25"),
+                   F.round(F.percentile("l_quantity", F.lit(0.5)), 6)
+                    .alias("median"),
+                   F.round(F.percentile("l_quantity", F.lit(0.75)), 6)
+                    .alias("q75"),
+                   F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6)
+                    .alias("price_p90")))
+
+
+@query(
+    "collect_funcs",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def collect_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array: collection order is partition-
+    dependent, so collected arrays are ALWAYS sorted before they leave
+    the operator (determinism rule)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(F.sort_array(F.collect_set("o_orderstatus"))
+                   .alias("statuses"),
+                  F.size(F.collect_set("o_orderstatus")).cast("bigint")
+                   .alias("n_statuses")))
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey AS okey, o_custkey AS ckey,
+           first_value(o_totalprice) OVER w AS first_total,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_total,
+           nth_value(o_totalprice, 2) OVER
+             (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wb = (Window.partitionBy("o_custkey")
+          .orderBy(F.col("o_orderdate").asc_nulls_last(),
+                   F.col("o_orderkey").asc()))
+    wfull = wb.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        F.first("o_totalprice").over(wb).alias("first_total"),
+        F.last("o_totalprice").over(wfull).alias("last_total"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_total"))
+
+
+@query(
+    "percent_rank_cume",
+    oracle="""
+    SELECT c_custkey AS ckey,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC)
+    """,
+)
+def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("c_acctbal").asc_nulls_last(),
+                  F.col("c_custkey").asc()))
+    return c.select(
+        F.col("c_custkey").alias("ckey"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"))
+
+
+@query(
+    "having_clause",
+    oracle="""
+    SELECT o_custkey AS ckey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_spent
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_custkey").alias("ckey"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                   .cast("double").alias("total_spent"))
+             .filter(F.col("n_orders") >= 15))
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey AS okey, o_totalprice AS total
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery through the spark.sql front door."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql("""
+        SELECT o_orderkey AS okey, o_totalprice AS total
+        FROM orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq)
+    """)
+
+
+@query(
+    "exists_correlated",
+    oracle="""
+    SELECT s_suppkey AS skey, s_name AS sname
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = s.s_nationkey
+                    AND c.c_acctbal > 9990)
+    """,
+)
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates it into a left-semi
+    join automatically."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_sq")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql("""
+        SELECT s_suppkey AS skey, s_name AS sname
+        FROM supplier_sq s
+        WHERE EXISTS (SELECT 1 FROM customer_sq c
+                      WHERE c.c_nationkey = s.s_nationkey
+                        AND c.c_acctbal > 9990)
+    """)
+
+
+@query(
+    "in_subquery",
+    oracle="""
+    SELECT p_partkey AS pkey, p_brand AS brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                        WHERE l_quantity >= 49)
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql("""
+        SELECT p_partkey AS pkey, p_brand AS brand
+        FROM part_sq
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem_sq
+                            WHERE l_quantity >= 49)
+    """)
+
+
+@query(
+    "case_expr",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS size_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'other' END AS status_name
+    FROM orders
+    """,
+)
+def case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.when(tp < 50000, "small").when(tp < 150000, "medium")
+         .when(tp < 300000, "large").otherwise("jumbo").alias("size_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+         .when(F.col("o_orderstatus") == "F", "finished")
+         .otherwise("other").alias("status_name"))
+
+
+@query(
+    "cast_funcs",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+           CAST(o_custkey AS DOUBLE) AS ckey_dbl,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderstatus = 'O' AS INTEGER) AS is_open_int
+    FROM orders
+    """,
+)
+def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type casts restricted to the subset with identical
+    semantics in both engines (double->int differs: Spark truncates,
+    DuckDB rounds — excluded by design, use floor/round explicitly)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_back"),
+        F.col("o_custkey").cast("double").alias("ckey_dbl"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        (F.col("o_orderstatus") == "O").cast("int").alias("is_open_int"))
