@@ -50,6 +50,17 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), min_jaccard=0.05)
 
 
+@query("near_dedup_clusters")  # rows-only: iterative fixpoint op
+def near_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs -> connected components -> per-doc
+    keep/drop verdicts. The fixpoint loop (operators/cluster.py) is
+    one of the declared non-SQL-expressible operators."""
+    from ..operators.cluster import dedup_clusters
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs, min_jaccard=0.3)
+    return dedup_clusters(pairs, docs)
+
+
 @query("simhash_dedup")  # rows-only: xxhash64-based sketch
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (banded candidates, Hamming<=3)."""

@@ -33,6 +33,10 @@ _DEFAULTS: dict[str, str] = {
     # catalog.load converts back to TimestampType.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # static conf: bucketed saveAsTable needs a warehouse; keep it out
+    # of the repo working dir
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 

@@ -1,3 +1,5 @@
-from .writers import write_csv, write_parquet, write_partitioned
+from .writers import (write_bucketed, write_csv, write_parquet,
+                      write_partitioned)
 
-__all__ = ["write_csv", "write_parquet", "write_partitioned"]
+__all__ = ["write_csv", "write_parquet", "write_partitioned",
+           "write_bucketed"]

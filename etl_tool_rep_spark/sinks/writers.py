@@ -29,6 +29,24 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_by: list[str],
+                   n_buckets: int = 32, sort_by: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed (hash-clustered) table write. Two tables bucketed on
+    the same key with the same bucket count join WITHOUT a shuffle —
+    the amortization play for repeated large-fact joins at 100 TB:
+    pay the clustering once at write time, skip the exchange on every
+    subsequent join/aggregation on that key.
+
+    Bucketing requires the table catalog (saveAsTable), not a bare
+    path."""
+    writer = (df.write.mode(mode)
+              .bucketBy(n_buckets, *bucket_by))
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def write_partitioned(df: DataFrame, path: str,
                       partition_by: list[str],
                       mode: str = "overwrite",
