@@ -59,6 +59,71 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame,
                     F.col("_cid").alias(cand_id), "score", "rank"))
 
 
+def hyperplane_signature(vec: Column, dim: int, n_bits: int = 16,
+                         seed: int = 42) -> Column:
+    """Random-hyperplane LSH signature for cosine similarity: bit i =
+    sign(<v, h_i>) with h_i a fixed seeded +-1 hyperplane. Vectors
+    with cosine ~1 agree on almost all bits, so equal signatures (or
+    equal signature bands) bucket near-duplicates together.
+
+    Deterministic: hyperplanes derive from a seeded RNG, not runtime
+    randomness — signatures are stable across runs and cluster sizes."""
+    import random
+    rng = random.Random(seed)
+    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)]
+              for _ in range(n_bits)]
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        h = F.array(*[F.lit(x) for x in plane])
+        d = dot(vec, h)
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_near_dup_pairs(vectors: DataFrame, vec_id: str, vec_col: str,
+                       dim: int, threshold: float = 0.4,
+                       n_bits: int = 16, bands: int = 4) -> DataFrame:
+    """Scale path for embedding near-dup: bucket by hyperplane
+    signature bands (candidates must share one band of n_bits/bands
+    bits), then exact-cosine check candidates only. The all-pairs
+    cross join becomes a same-bucket self-join — at N vectors the
+    pair space drops from N^2 to sum of bucket^2.
+
+    Recall/threshold trade-off: P(bit agrees) = 1 - angle/pi; tune
+    n_bits/bands per threshold (looser thresholds need fewer agreeing
+    bits)."""
+    bits_per_band = n_bits // bands
+    mask = (1 << bits_per_band) - 1
+    base = (vectors.select(F.col(vec_id).alias("_id"),
+                           F.col(vec_col).alias("_v"))
+            .withColumn("_sig", hyperplane_signature(
+                F.col("_v"), dim, n_bits)))
+    band_structs = F.array(*[
+        F.struct(F.lit(j).alias("band"),
+                 F.shiftrightunsigned("_sig", j * bits_per_band)
+                  .bitwiseAND(F.lit(mask)).alias("bh"))
+        for j in range(bands)])
+    banded = (base.select("_id", F.explode(band_structs).alias("b"))
+                  .select("_id", "b.band", "b.bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a._id") < F.col("b._id")))
+              .select(F.col("a._id").alias("vec_id_1"),
+                      F.col("b._id").alias("vec_id_2"))
+              .distinct())
+    v1 = base.select(F.col("_id").alias("vec_id_1"),
+                     F.col("_v").alias("_v1"))
+    v2 = base.select(F.col("_id").alias("vec_id_2"),
+                     F.col("_v").alias("_v2"))
+    cos = cosine(F.col("_v1"), F.col("_v2"))
+    return (pairs.join(v1, "vec_id_1").join(v2, "vec_id_2")
+                 .withColumn("_cos", cos)
+                 .filter(F.col("_cos") >= threshold)
+                 .select("vec_id_1", "vec_id_2",
+                         F.round("_cos", 7).alias("cos_sim")))
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                vec_id: str, vec_col: str,
                centroid_id: str = "centroid_id",

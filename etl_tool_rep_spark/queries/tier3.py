@@ -342,6 +342,34 @@ def lang_filter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
+@query("lsh_near_dup")  # rows-only: seeded-hyperplane bucketing
+def lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup (the scale path for embedding_near_dup:
+    same-bucket self-join instead of all-pairs). Recall vs the exact
+    pairs is asserted in tests."""
+    em = load(spark, sf_dir, "embeddings")
+    return K.lsh_near_dup_pairs(em, "vec_id", "embedding", dim=64,
+                                threshold=0.4)
+
+
+@query(
+    "grouped_zscore",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 6)
+               AS chars_z
+    FROM documents
+    """,
+)
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (per-language z-score) — checked
+    EXACTLY against the window-function SQL equivalent, proving the
+    grouped Python path preserves numeric semantics."""
+    from ..functions.grouped import zscore_per_group
+    return zscore_per_group(load(spark, sf_dir, "documents"))
+
+
 @query("multimodal_features")  # rows-only: mapInPandas stage
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct -> Arrow-batched mapInPandas

@@ -126,6 +126,32 @@ def test_ivf_recall_floor_and_determinism(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.2
 
 
+def test_lsh_near_dup_recall(spark, sf_dir):
+    """Hyperplane-LSH candidates vs the exact all-pairs result: at
+    threshold 0.4 (weak similarity — 66 degrees) theory gives ~50%
+    recall for 4x4-bit bands; identical/high-sim pairs recall ~1.
+    Assert a conservative floor + zero false positives (LSH output is
+    exact-checked, so every emitted pair must be in the truth set)."""
+    from etl_tool_rep_spark.operators.knn import (cosine,
+                                                  lsh_near_dup_pairs)
+    em = load(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("vec_id_1"),
+                  F.col("embedding").alias("_va"))
+    b = em.select(F.col("vec_id").alias("vec_id_2"),
+                  F.col("embedding").alias("_vb"))
+    exact = {(r["vec_id_1"], r["vec_id_2"])
+             for r in a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+             .withColumn("_c", cosine(F.col("_va"), F.col("_vb")))
+             .filter(F.col("_c") >= 0.4)
+             .select("vec_id_1", "vec_id_2").collect()}
+    got = {(r["vec_id_1"], r["vec_id_2"])
+           for r in lsh_near_dup_pairs(em, "vec_id", "embedding",
+                                       dim=64, threshold=0.4).collect()}
+    assert got <= exact                       # no false positives
+    if exact:
+        assert len(got) / len(exact) >= 0.3   # conservative recall floor
+
+
 def test_multimodal_features_deterministic(docs):
     out1 = extract_features(attach_payload(docs)).orderBy("doc_id")
     out2 = extract_features(attach_payload(docs)).orderBy("doc_id")
