@@ -30,6 +30,8 @@ HEADLINE = [
     "topk_limit", "grouping_rollup", "pivot_op",
     # temporal
     "tumbling_window_agg", "session_window_agg", "asof_join",
+    # multi-join analytics
+    "tpch_q3_shipping", "tpch_q5_local_volume", "tpch_q10_returns",
     # LLM-pipeline
     "exact_dedup", "near_dedup_minhash", "embedding_knn",
     "token_count", "quality_score",

@@ -64,6 +64,30 @@ def decode_image(payload: bytes):
     return Image.open(io.BytesIO(payload))
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB: requires PIL (absent here); the
+    Spark-side wiring (binary in -> binary out inside mapInPandas) is
+    the real deliverable."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image resize requires PIL; not available in this environment")
+    import io
+    img = decode_image(payload)
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format=img.format or "PNG")
+    return buf.getvalue()
+
+
+def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
+    """Sample frames from a video payload. STUB: no video decoder in
+    this container. A real implementation yields one binary per
+    sampled frame from a mapInPandas stage (one row in, N rows out via
+    explode on the returned array column)."""
+    raise NotImplementedError(
+        "video frame sampling requires a decoder (e.g. av/ffmpeg); "
+        "not available in this environment")
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """DETERMINISTIC FAKE feature vector standing in for a real
     decode->embed stage: simple byte statistics, stable across runs.

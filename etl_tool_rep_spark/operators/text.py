@@ -94,6 +94,27 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_BASE = 31
+
+
+def rolling_fingerprint(text_col_sql: str) -> Column:
+    """Polynomial rolling hash over the character stream:
+    h = fold(h * 31 + codepoint) mod 1e9+7 — the classic content
+    fingerprint primitive (Karp-Rabin). Pure JVM fold via the
+    aggregate higher-order function; acc stays < 31 * mod, inside
+    BIGINT. Takes a SQL expression string (usually a backticked
+    column name)."""
+    t = text_col_sql
+    return F.expr(
+        f"aggregate("
+        f"  transform(sequence(1, length({t})),"
+        f"            i -> ascii(substring({t}, i, 1))),"
+        f"  cast(0 as bigint),"
+        f"  (acc, c) -> pmod(acc * {ROLLING_HASH_BASE} + c,"
+        f"                   {ROLLING_HASH_MOD}))")
+
+
 def deterministic_sample(id_col: Column, rate_hex_prefixes: int = 2) -> Column:
     """Hash-based sampling predicate: md5(id) first hex char in the
     first ``rate_hex_prefixes`` values → rate = n/16. Stable across

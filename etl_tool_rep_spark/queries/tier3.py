@@ -370,6 +370,41 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_per_group(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substr(text, i, 1))
+                                        AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
+    FROM documents
+    """,
+)
+def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash fingerprint — the fold is expressed with
+    aggregate() in Spark and list_reduce() in DuckDB, hash-matching
+    on every document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    X.rolling_fingerprint("`text`").alias("fp_rolling"))
+
+
+@query("approx_quantiles")  # rows-only: sketch-based estimates
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100 TB path for percentile_agg (exact
+    percentile buffers the group; the sketch streams). Accuracy vs
+    the exact values is asserted in tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_returnflag").alias("returnflag"))
+              .agg(F.percentile_approx("l_quantity", [0.25, 0.5, 0.75],
+                                       10000).alias("qty_quartiles"),
+                   F.percentile_approx("l_extendedprice", 0.9, 10000)
+                    .alias("price_p90")))
+
+
 @query("multimodal_features")  # rows-only: mapInPandas stage
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct -> Arrow-batched mapInPandas
