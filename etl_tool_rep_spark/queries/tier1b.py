@@ -235,6 +235,45 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 1000000 + c_custkey, c_name, c_nationkey, c_acctbal,
+             'NEWSEG' AS c_mktsegment
+      FROM customer WHERE c_custkey < 5
+    )
+    SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                ELSE t.c_name END AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey
+                ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL OUTER JOIN updates u
+      ON t.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (matched -> update, unmatched -> insert)
+    as a full-outer-join plan (operators/merge.py): every 10th
+    customer gets +1000 balance, five brand-new keys insert."""
+    from ..operators.merge import merge_upsert
+    c = load(spark, sf_dir, "customer")
+    updated = (c.filter(F.col("c_custkey") % 10 == 0)
+                .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0))
+    inserted = (c.filter(F.col("c_custkey") < 5)
+                 .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+                 .withColumn("c_mktsegment", F.lit("NEWSEG")))
+    return merge_upsert(c, updated.unionByName(inserted), "c_custkey")
+
+
+@query(
     "case_expr",
     oracle="""
     SELECT o_orderkey AS okey,
