@@ -50,6 +50,64 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     return joined.select(*out_cols)
 
 
+def scd2_apply(history: DataFrame, updates: DataFrame,
+               key: str, tracked: list[str],
+               effective_ts_col: str = "effective_ts",
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to",
+               is_current: str = "is_current") -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a batch of updates to a
+    versioned history table.
+
+    * rows whose tracked values changed: current version closed out
+      (valid_to = update ts, is_current = false) + new open version
+      appended;
+    * unchanged / untouched keys: pass through;
+    * brand-new keys: new open version.
+
+    One full-outer join on the key + a union — no window needed
+    because only the current version participates. At 100 TB keep
+    history partitioned by is_current so the join reads only the open
+    slice."""
+    cur = history.filter(F.col(is_current))
+    closed = history.filter(~F.col(is_current))
+
+    u = updates.alias("u")
+    c = cur.alias("c")
+    changed_cond = F.lit(False)
+    for col in tracked:
+        changed_cond = changed_cond | ~F.col(f"c.{col}").eqNullSafe(
+            F.col(f"u.{col}"))
+    j = c.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer")
+
+    # surviving current rows: untouched, or touched-but-unchanged
+    keep_cur = (j.filter(F.col(f"u.{key}").isNull()
+                         | (F.col(f"c.{key}").isNotNull() & ~changed_cond))
+                .select("c.*"))
+    # closed-out versions of changed rows
+    close_out = (j.filter(F.col(f"c.{key}").isNotNull()
+                          & F.col(f"u.{key}").isNotNull() & changed_cond)
+                 .select(*[F.col(f"c.{x}") for x in history.columns
+                           if x not in (valid_to, is_current)],
+                         F.col(f"u.{effective_ts_col}").alias(valid_to),
+                         F.lit(False).alias(is_current)))
+    # new open versions: changed rows + brand-new keys
+    new_rows = (j.filter(F.col(f"u.{key}").isNotNull()
+                         & (F.col(f"c.{key}").isNull() | changed_cond))
+                .select(F.col(f"u.{key}").alias(key),
+                        *[F.col(f"u.{x}").alias(x) for x in tracked],
+                        F.col(f"u.{effective_ts_col}").alias(valid_from),
+                        F.lit(None).cast(
+                            history.schema[valid_to].dataType)
+                         .alias(valid_to),
+                        F.lit(True).alias(is_current)))
+    cols = history.columns
+    return (closed.select(*cols)
+            .unionByName(keep_cur.select(*cols))
+            .unionByName(close_out.select(*cols))
+            .unionByName(new_rows.select(*cols)))
+
+
 def delete_matching(target: DataFrame, deletes: DataFrame,
                     key: str | list[str]) -> DataFrame:
     """Anti-join delete: keep target rows whose key is absent from

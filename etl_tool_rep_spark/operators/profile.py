@@ -1,0 +1,54 @@
+"""Table profiling — per-column data-quality statistics in ONE pass.
+
+The ETL-tool capability the reference exposes as UI previews
+(main.py:321,433) generalized: one aggregate computes count / nulls /
+distinct / min / max per column simultaneously (a single scan + one
+reduce, no per-column jobs). At 100 TB, profile on a deterministic
+hash sample (operators/text.deterministic_sample) instead of the full
+table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+            T.DecimalType, T.ShortType)
+
+
+def profile_table(df: DataFrame,
+                  approx_distinct: bool = True) -> DataFrame:
+    """One-row-per-column profile: (column, n_rows, n_nulls,
+    n_distinct, min_str, max_str, mean). All columns in one
+    aggregation; result unpivoted driver-side (column count is tiny).
+    ``approx_distinct`` uses HLL (the scale path); exact otherwise."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in df.columns:
+        dt = df.schema[c].dataType
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1))
+                    .alias(f"_nulls_{c}"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"_dist_{c}"))
+        else:
+            aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType,
+                           T.BinaryType)):
+            aggs.append(F.lit(None).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"_max_{c}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.round(F.avg(F.col(c).cast("double")), 6)
+                        .alias(f"_mean_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_mean_{c}"))
+
+    row = df.agg(*aggs).collect()[0]
+    out = [(c, row["_n"], row[f"_nulls_{c}"], row[f"_dist_{c}"],
+            row[f"_min_{c}"], row[f"_max_{c}"], row[f"_mean_{c}"])
+           for c in df.columns]
+    return df.sparkSession.createDataFrame(
+        out, "column string, n_rows long, n_nulls long, n_distinct long, "
+             "min_str string, max_str string, mean double")

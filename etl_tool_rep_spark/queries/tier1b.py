@@ -234,6 +234,39 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_PROFILE_COL = """
+    SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str,
+           {mean} AS mean
+    FROM orders
+"""
+
+
+@query(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        _PROFILE_COL.format(
+            c=c,
+            mean=(f"round(avg(CAST({c} AS DOUBLE)), 6)" if numeric
+                  else "CAST(NULL AS DOUBLE)"))
+        for c, numeric in [
+            ("o_orderkey", True), ("o_custkey", True),
+            ("o_orderstatus", False), ("o_totalprice", True),
+            ("o_orderdate", False), ("o_orderpriority", False)]),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile (count/nulls/distinct/min/max/
+    mean) — the data-quality surface of an ETL engine
+    (operators/profile.py; exact distinct here for the oracle, HLL is
+    the default scale path)."""
+    from ..operators.profile import profile_table
+    return profile_table(load(spark, sf_dir, "orders"),
+                         approx_distinct=False)
+
+
 @query(
     "merge_upsert",
     oracle="""

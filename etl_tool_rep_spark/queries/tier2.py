@@ -127,6 +127,48 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS n_clicked_after_view,
+           CAST(COUNT(CASE WHEN t_purchase > t_click
+                            AND t_click > t_view THEN 1 END) AS BIGINT)
+               AS n_full_funnel
+    FROM stages
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analytics (view -> click -> purchase ordering per
+    user): conditional-min stage timestamps in one aggregation pass —
+    no self-joins, one shuffle by user."""
+    e = load(spark, sf_dir, "events")
+    stage = (e.groupBy("user_id")
+             .agg(F.min(F.when(F.col("event_type") == "view",
+                               F.col("ts"))).alias("t_view"),
+                  F.min(F.when(F.col("event_type") == "click",
+                               F.col("ts"))).alias("t_click"),
+                  F.min(F.when(F.col("event_type") == "purchase",
+                               F.col("ts"))).alias("t_purchase")))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+         .alias("n_clicked_after_view"),
+        F.count(F.when((F.col("t_purchase") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_view")), 1))
+         .alias("n_full_funnel"))
+
+
+@query(
     "asof_join",
     oracle="""
     WITH b AS (

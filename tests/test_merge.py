@@ -41,6 +41,30 @@ def test_delete_matching(spark, target):
     assert got == [2]
 
 
+def test_scd2_apply(spark):
+    from etl_tool_rep_spark.operators.merge import scd2_apply
+    hist = spark.createDataFrame(
+        [(1, "gold", "2024-01-01", None, True),
+         (2, "silver", "2024-01-01", None, True),
+         (2, "bronze", "2023-01-01", "2024-01-01", False)],
+        "id long, tier string, valid_from string, valid_to string, "
+        "is_current boolean")
+    updates = spark.createDataFrame(
+        [(1, "platinum", "2024-06-01"),   # changed -> close + reopen
+         (2, "silver", "2024-06-01"),     # unchanged -> untouched
+         (3, "gold", "2024-06-01")],      # new key -> insert
+        "id long, tier string, effective_ts string")
+    out = scd2_apply(hist, updates, "id", ["tier"])
+    rows = {(r["id"], r["tier"], r["is_current"]):
+            (r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert rows[(1, "gold", False)] == ("2024-01-01", "2024-06-01")
+    assert rows[(1, "platinum", True)] == ("2024-06-01", None)
+    assert rows[(2, "silver", True)] == ("2024-01-01", None)
+    assert rows[(2, "bronze", False)] == ("2023-01-01", "2024-01-01")
+    assert rows[(3, "gold", True)] == ("2024-06-01", None)
+    assert len(rows) == 5
+
+
 def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path):
     """Streaming upsert: each micro-batch merges per-user counts into
     a parquet target via foreachBatch — the standard 'streaming MERGE'
