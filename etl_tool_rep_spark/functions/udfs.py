@@ -31,6 +31,25 @@ def sigmoid_score(col):
     return _cache["sigmoid"](col)
 
 
+def make_hyperplane_sig_udf(planes):
+    """Vectorized random-hyperplane signature: sign bits of P @ v
+    packed into one int64. Same arithmetic as the JVM fold in
+    operators/knn.hyperplane_signature, at numpy speed."""
+    key = ("hyperplane", len(planes), len(planes[0]))
+    if key not in _cache:
+        P = np.array(planes, dtype=np.float64)          # (bits, dim)
+        weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+
+        @pandas_udf("long")
+        def hyperplane_sig(batch: pd.Series) -> pd.Series:
+            return batch.map(
+                lambda v: int(
+                    ((P @ np.asarray(v, dtype=np.float64)) > 0)
+                    .astype(np.int64) @ weights))
+        _cache[key] = hyperplane_sig
+    return _cache[key]
+
+
 def make_minhash_sig_udf(perms: list, p: int):
     """Vectorized MinHash signature kernel: ((A*h+B) mod p).min over
     the shingle axis — same int64 arithmetic as the JVM higher-order

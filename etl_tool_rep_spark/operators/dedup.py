@@ -21,6 +21,13 @@ functions — no Python UDFs, stays in whole-stage codegen):
 
 All randomness is a fixed seeded permutation table — results are fully
 deterministic across runs and cluster sizes.
+
+Public literature grounding: MinHash resemblance estimation (Broder,
+"On the resemblance and containment of documents", 1997) with the
+banding analysis from Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch.3; SimHash (Charikar, "Similarity estimation techniques
+from rounding algorithms", STOC 2002) as deployed for web-scale
+near-dup detection (Manku et al., WWW 2007).
 """
 
 from __future__ import annotations

@@ -14,6 +14,11 @@ left-to-right accumulation (hash-stable vs a serial oracle).
   probe the nprobe nearest cells only — the scan shrinks to
   nprobe/nlist of the data. The cell assignment is itself a broadcast
   argmax, so building the index is one pass.
+
+Public literature grounding: IVF coarse quantization follows the
+inverted-file design of Jegou/Douze/Schmid ("Product quantization for
+nearest neighbor search", TPAMI 2011); random-hyperplane cosine LSH
+is Charikar (STOC 2002) / Indyk-Motwani locality-sensitive hashing.
 """
 
 from __future__ import annotations
@@ -92,12 +97,26 @@ def lsh_near_dup_pairs(vectors: DataFrame, vec_id: str, vec_col: str,
     Recall/threshold trade-off: P(bit agrees) = 1 - angle/pi; tune
     n_bits/bands per threshold (looser thresholds need fewer agreeing
     bits)."""
+    import random
+
+    from ..functions.udfs import make_hyperplane_sig_udf
+
     bits_per_band = n_bits // bands
     mask = (1 << bits_per_band) - 1
+    rng = random.Random(42)
+    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dim)]
+              for _ in range(n_bits)]
+    # numpy kernel (same seeded planes as the JVM reference form in
+    # hyperplane_signature; dense per-vector compute is the pandas-UDF
+    # sweet spot, like the MinHash kernel)
+    sig_udf = make_hyperplane_sig_udf(planes)
+    n_part = vectors.sparkSession.sparkContext.defaultParallelism
     base = (vectors.select(F.col(vec_id).alias("_id"),
                            F.col(vec_col).alias("_v"))
-            .withColumn("_sig", hyperplane_signature(
-                F.col("_v"), dim, n_bits)))
+            .repartition(n_part, "_id")
+            .withColumn("_sig", sig_udf(F.col("_v"))))
+    base.persist()
+    base.count()
     band_structs = F.array(*[
         F.struct(F.lit(j).alias("band"),
                  F.shiftrightunsigned("_sig", j * bits_per_band)
