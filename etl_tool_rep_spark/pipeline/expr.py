@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
     | (?P<str2>"(?:[^"\\]|\\.)*")
     | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op>\*\*|==|!=|>=|<=|>|<|&|\||~|\(|\)|\+|-|\*|/|%|,)
+    | (?P<op>\*\*|==|!=|>=|<=|>|<|&|\||~|\(|\)|\+|-|\*|/|%|,|\[|\])
     """,
     re.VERBOSE,
 )
@@ -45,6 +45,9 @@ _KEYWORDS = {
     "True": "TRUE", "False": "FALSE", "None": "NULL",
     "in": "IN",
 }
+
+# pandas-eval list literals (`x in [1, 2]`) become SQL IN-lists
+_BRACKETS = {"[": "(", "]": ")"}
 
 _OPS = {
     "&": "AND", "|": "OR", "~": "NOT", "==": "=", "**": "^",
@@ -105,7 +108,9 @@ def translate_expr(expression: str, dialect: str = "spark") -> str:
                 # bare name == column reference in pandas eval
                 out.append(_emit_ident(tok, dialect))
         elif kind == "op":
-            if tok == "**":
+            if tok in _BRACKETS:
+                out.append(_BRACKETS[tok])
+            elif tok == "**":
                 # SQL has no **; both Spark and DuckDB expose power()
                 # but '^' means XOR in Spark — rewrite handled below.
                 out.append("**")
@@ -116,4 +121,7 @@ def translate_expr(expression: str, dialect: str = "spark") -> str:
     # never emits **, so reject rather than mistranslate.
     if "**" in sql:
         raise ExprError("'**' is not supported; use power() explicitly")
+    if "IN ( )" in sql:
+        raise ExprError("empty IN-list (pandas eval allows `x in []`; "
+                        "SQL does not — drop the term instead)")
     return sql

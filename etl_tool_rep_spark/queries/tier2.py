@@ -127,6 +127,39 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', f.first_ts) AS TIMESTAMP)
+               AS cohort_week,
+           CAST(floor(datediff('day', CAST(f.first_ts AS DATE),
+                               CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, activity
+    counted at weekly offsets — first-touch via one aggregation, then
+    a key-co-partitioned self-join (both sides shuffle once on
+    user_id; AQE turns the tiny firsts side into a broadcast)."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (e.join(firsts, "user_id")
+             .select(F.date_trunc("week", "first_ts").alias("cohort_week"),
+                     F.floor(F.datediff(F.col("ts").cast("date"),
+                                        F.col("first_ts").cast("date"))
+                             / 7.0).cast("bigint").alias("week_offset"),
+                     "user_id")
+             .groupBy("cohort_week", "week_offset")
+             .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+@query(
     "funnel_conversion",
     oracle="""
     WITH stages AS (

@@ -175,3 +175,16 @@ def test_expr_translation():
     assert translate_expr("amount > 10 and not flag", "duckdb") == \
         '"amount" > 10 AND NOT "flag"'
     assert translate_expr('`s` == "dq"') == "`s` = 'dq'"
+    assert translate_expr("`s` in ['a', 'b'] & `n` in [1, 2]") == \
+        "`s` IN ( 'a' , 'b' ) AND `n` IN ( 1 , 2 )"
+
+
+def test_in_list_rule_runs(main_df):
+    rows = run(main_df, {}, [
+        {"name": "rid", "type": "Direct Map", "source": "row_id"},
+        {"name": "st", "type": "Conditional",
+         "expression": "`status` in ['Active', 'Pending']",
+         "then": "Y", "else": "N"},
+    ])
+    by_rid = {r["rid"]: r["st"] for r in rows}
+    assert by_rid[1] == "Y" and by_rid[3] == "N" and by_rid[5] == "N"
