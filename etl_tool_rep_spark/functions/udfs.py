@@ -43,7 +43,7 @@ def make_hyperplane_sig_udf(planes):
         @pandas_udf("long")
         def hyperplane_sig(batch: pd.Series) -> pd.Series:
             return batch.map(
-                lambda v: int(
+                lambda v: None if v is None else int(
                     ((P @ np.asarray(v, dtype=np.float64)) > 0)
                     .astype(np.int64) @ weights))
         _cache[key] = hyperplane_sig
@@ -61,8 +61,11 @@ def make_minhash_sig_udf(perms: list, p: int):
 
         @pandas_udf("array<long>")
         def minhash_sig(batch: pd.Series) -> pd.Series:
+            # NULL-propagating like the JVM reference form (a NULL
+            # shingle array must not crash the task)
             return batch.map(
-                lambda h: ((A * np.asarray(h, dtype=np.int64)[None, :] + B)
-                           % p).min(axis=1))
+                lambda h: None if h is None else
+                ((A * np.asarray(h, dtype=np.int64)[None, :] + B)
+                 % p).min(axis=1))
         _cache[key] = minhash_sig
     return _cache[key]

@@ -130,13 +130,16 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     n_part = df.sparkSession.sparkContext.defaultParallelism
     base = (df.select(F.col(id_col).alias("_id"),
                       F.col(text_col).alias("_txt"))
+              # NULL text has no shingles and cannot be a candidate
+              .filter(F.col("_txt").isNotNull())
               .repartition(n_part, "_id")
               .withColumn("_sh", word_shingles(F.col("_txt")))
               .withColumn("_shh", _shingle_hashes(F.col("_sh")))
               .withColumn("_sig", _minhash_sig_udf(k)(F.col("_shh")))
               .drop("_shh", "_txt"))
-    base.persist()
-    base.count()  # materialize once; four downstream branches reuse it
+    # materialize once (lineage truncated; blocks GC'd with the plan)
+    # so the four downstream branches don't recompute the signatures
+    base = base.localCheckpoint(eager=True)
 
     band_structs = F.array(*[
         F.struct(F.lit(j).alias("band"),
@@ -220,12 +223,13 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     band), verified with exact Hamming distance."""
     base = (df.select(F.col(id_col).alias("_id"),
                       F.col(text_col).alias("_txt"))
+              .filter(F.col("_txt").isNotNull())
               .withColumn("_cnt", F.expr(
                   _SIMHASH_COUNTS_SQL.format(text="`_txt`")))
               .withColumn("_sh", F.expr(
                   _SIMHASH_ASSEMBLE_SQL.format(counts="`_cnt`")))
               .select("_id", "_sh"))
-    base.persist()
+    base = base.localCheckpoint(eager=True)
     band_structs = F.array(*[
         F.struct(F.lit(j).alias("band"),
                  F.shiftrightunsigned("_sh", j * 16)
@@ -257,7 +261,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     n-grams, self-join on (gram, block) to count intersections, then
     |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing >=1 gram ever
     materialize — the blocking + gram join bounds the pair space."""
-    tri = (df.select(F.col(id_col).alias("_id"),
+    # docs shorter than n words have no full n-gram and do not
+    # participate (standard n-gram semantics; mirrors the SQL oracle —
+    # unlike MinHash above, which keeps a truncated-shingle fallback)
+    tri = (df.filter(F.size(F.split(F.col(text_col), r"\s+")) >= n)
+             .select(F.col(id_col).alias("_id"),
                      F.col(block_col).alias("_blk"),
                      F.explode(word_shingles(F.col(text_col), n))
                       .alias("_g"))

@@ -113,10 +113,10 @@ def lsh_near_dup_pairs(vectors: DataFrame, vec_id: str, vec_col: str,
     n_part = vectors.sparkSession.sparkContext.defaultParallelism
     base = (vectors.select(F.col(vec_id).alias("_id"),
                            F.col(vec_col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
             .repartition(n_part, "_id")
             .withColumn("_sig", sig_udf(F.col("_v"))))
-    base.persist()
-    base.count()
+    base = base.localCheckpoint(eager=True)
     band_structs = F.array(*[
         F.struct(F.lit(j).alias("band"),
                  F.shiftrightunsigned("_sig", j * bits_per_band)

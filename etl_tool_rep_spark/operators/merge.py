@@ -72,28 +72,40 @@ def scd2_apply(history: DataFrame, updates: DataFrame,
     cur = history.filter(F.col(is_current))
     closed = history.filter(~F.col(is_current))
 
-    u = updates.alias("u")
-    c = cur.alias("c")
+    # one update per key (latest effective_ts wins, deterministic) —
+    # two updates for one key in a batch would otherwise open two
+    # concurrent is_current versions and break the SCD2 invariant
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy(
+        F.col(effective_ts_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in tracked])
+    updates = (updates.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+
+    u = updates.withColumn("_u_exists", F.lit(1)).alias("u")
+    c = cur.withColumn("_c_exists", F.lit(1)).alias("c")
     changed_cond = F.lit(False)
     for col in tracked:
         changed_cond = changed_cond | ~F.col(f"c.{col}").eqNullSafe(
             F.col(f"u.{col}"))
-    j = c.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer")
+    # eqNullSafe + existence markers: NULL keys match each other and
+    # never masquerade as "unmatched"
+    j = c.join(u, F.col(f"c.{key}").eqNullSafe(F.col(f"u.{key}")),
+               "full_outer")
+    u_matched = F.col("u._u_exists").isNotNull()
+    c_matched = F.col("c._c_exists").isNotNull()
 
     # surviving current rows: untouched, or touched-but-unchanged
-    keep_cur = (j.filter(F.col(f"u.{key}").isNull()
-                         | (F.col(f"c.{key}").isNotNull() & ~changed_cond))
-                .select("c.*"))
+    keep_cur = (j.filter(c_matched & (~u_matched | ~changed_cond))
+                .select(*[F.col(f"c.{x}") for x in history.columns]))
     # closed-out versions of changed rows
-    close_out = (j.filter(F.col(f"c.{key}").isNotNull()
-                          & F.col(f"u.{key}").isNotNull() & changed_cond)
+    close_out = (j.filter(c_matched & u_matched & changed_cond)
                  .select(*[F.col(f"c.{x}") for x in history.columns
                            if x not in (valid_to, is_current)],
                          F.col(f"u.{effective_ts_col}").alias(valid_to),
                          F.lit(False).alias(is_current)))
     # new open versions: changed rows + brand-new keys
-    new_rows = (j.filter(F.col(f"u.{key}").isNotNull()
-                         & (F.col(f"c.{key}").isNull() | changed_cond))
+    new_rows = (j.filter(u_matched & (~c_matched | changed_cond))
                 .select(F.col(f"u.{key}").alias(key),
                         *[F.col(f"u.{x}").alias(x) for x in tracked],
                         F.col(f"u.{effective_ts_col}").alias(valid_from),

@@ -31,6 +31,11 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     grouping, so the salt is random-like but derived from a second
     hash of the key's row position: we use pmod on a per-row hash of
     all columns, which distributes a hot key's rows uniformly."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): the "
+            "dim side is replicated per salt, so right/full outer "
+            "would emit unmatched dim rows salt_factor times")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
                   F.lit(salt_factor)).cast("int")
     f = fact.withColumn("_salt", salt)

@@ -125,12 +125,17 @@ def compile_pipeline(df: DataFrame, rules: list[Rule],
                     "left").drop(key_alias)
                 out_cols.append(F.col(val_alias).alias(rule.name))
             else:
-                # validate column references eagerly for failure isolation
+                # validate eagerly for failure isolation: a bad
+                # Conditional expression (unknown column, syntax)
+                # must fail HERE, inside the per-rule try, not at the
+                # final select — df.select() analyzes immediately.
                 col = compile_rule_column(rule)
                 if isinstance(rule, DirectMapRule) \
                         and rule.source not in df.columns:
                     raise KeyError(f"primary table has no column "
                                    f"{rule.source!r}")
+                if isinstance(rule, ConditionalRule):
+                    df.select(col)  # analysis-only; no execution
                 out_cols.append(col)
         except Exception as exc:  # noqa: BLE001 — per-rule isolation
             if not permissive:

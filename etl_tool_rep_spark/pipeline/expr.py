@@ -20,6 +20,12 @@ comparisons as False so NaN rows take the else-branch (verified,
 SURVEY.md §2.1 pt 6), and SQL's ``CASE WHEN <null-cond>`` also falls
 through to ELSE. The semantics line up for the whole comparison
 grammar.
+
+KNOWN DIVERGENCE: ``%`` on negative operands follows SQL semantics
+(sign of the dividend: -1 % 3 = -1) while Python/pandas-eval follows
+the divisor's sign (-1 % 3 = 2). A token-stream translator cannot
+restructure the expression to pmod; pipelines using ``%`` on possibly
+negative values should write the intent explicitly.
 """
 
 from __future__ import annotations
@@ -66,8 +72,12 @@ def _emit_ident(name: str, dialect: str) -> str:
 
 
 def _emit_string(body: str) -> str:
-    # normalize python-style escapes to a SQL single-quoted literal
-    unescaped = bytes(body, "utf-8").decode("unicode_escape")
+    # normalize python-style escapes to a SQL single-quoted literal.
+    # latin-1/backslashreplace keeps non-ASCII intact while letting
+    # unicode_escape process the backslash sequences (a bare utf-8
+    # round-trip through unicode_escape mojibakes 'café').
+    unescaped = (body.encode("latin-1", "backslashreplace")
+                 .decode("unicode_escape"))
     return "'" + unescaped.replace("'", "''") + "'"
 
 

@@ -522,7 +522,9 @@ def except_op(spark, sf_dir):
         F.col("n_nationkey").alias("nk"))
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nk"))
-    return n.exceptAll(s).distinct()
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll().distinct()
+    # would wrongly keep values the right side only partially cancels
+    return n.subtract(s)
 
 
 @query(

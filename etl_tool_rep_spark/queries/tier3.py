@@ -71,12 +71,14 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_dedup",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, source, str_split(text, ' ') AS w FROM documents
+      SELECT doc_id, source, str_split_regex(text, '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL
     ), tri AS (
       SELECT DISTINCT doc_id, source,
              w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
       FROM toks, LATERAL (SELECT unnest(range(greatest(len(w) - 2, 0)))
                           AS i) s
+      WHERE len(w) >= 3
     ), counts AS (
       SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
     ), inter AS (

@@ -69,5 +69,10 @@ def run_update_stream(stream_df: DataFrame, query_name: str,
          .outputMode("update")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not finish within "
+            f"{timeout_s}s — partial results discarded")
     return stream_df.sparkSession.table(query_name)

@@ -87,6 +87,11 @@ def run_available_now(stream_df: DataFrame, query_name: str,
          .outputMode("complete")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not finish within "
+            f"{timeout_s}s — partial results discarded")
     spark = stream_df.sparkSession
     return spark.table(query_name)

@@ -126,6 +126,31 @@ def test_ivf_recall_floor_and_determinism(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.2
 
 
+def test_null_text_rows_do_not_crash_sketches(spark):
+    """Regression: NULL text reached np.asarray in the signature
+    kernel and crashed the task; NULL rows are now filtered (they
+    cannot be near-dup candidates)."""
+    docs = spark.createDataFrame(
+        [(1, BASE, "s"), (2, None, "s"), (3, BASE, "s")],
+        "doc_id long, text string, source string")
+    mh = minhash_candidate_pairs(docs).collect()
+    assert {(r["id_1"], r["id_2"]) for r in mh} == {(1, 3)}
+    sh = simhash_candidate_pairs(docs).collect()
+    assert {(r["id_1"], r["id_2"]) for r in sh} == {(1, 3)}
+    nj = ngram_jaccard_pairs(docs).collect()
+    assert {(r["id_1"], r["id_2"]) for r in nj} == {(1, 3)}
+
+
+def test_null_vectors_do_not_crash_lsh(spark):
+    from etl_tool_rep_spark.operators.knn import lsh_near_dup_pairs
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None), (3, [1.0] * 8)],
+        "vec_id long, embedding array<double>")
+    got = lsh_near_dup_pairs(vecs, "vec_id", "embedding", dim=8,
+                             threshold=0.9).collect()
+    assert {(r["vec_id_1"], r["vec_id_2"]) for r in got} == {(1, 3)}
+
+
 def test_lsh_near_dup_recall(spark, sf_dir):
     """Hyperplane-LSH candidates vs the exact all-pairs result: at
     threshold 0.4 (weak similarity — 66 degrees) theory gives ~50%

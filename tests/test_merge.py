@@ -65,6 +65,29 @@ def test_scd2_apply(spark):
     assert len(rows) == 5
 
 
+def test_scd2_duplicate_key_updates_keep_one_current(spark):
+    """Regression: two same-key updates in one batch opened two
+    concurrent is_current versions."""
+    from etl_tool_rep_spark.operators.merge import scd2_apply
+    hist = spark.createDataFrame(
+        [(1, "gold", "2024-01-01", None, True)],
+        "id long, tier string, valid_from string, valid_to string, "
+        "is_current boolean")
+    updates = spark.createDataFrame(
+        [(1, "silver", "2024-05-01"), (1, "platinum", "2024-06-01")],
+        "id long, tier string, effective_ts string")
+    out = scd2_apply(hist, updates, "id", ["tier"]).collect()
+    current = [r for r in out if r["is_current"]]
+    assert len(current) == 1 and current[0]["tier"] == "platinum"
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from etl_tool_rep_spark.operators.skew import salted_join
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full")
+
+
 def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path):
     """Streaming upsert: each micro-batch merges per-user counts into
     a parquet target via foreachBatch — the standard 'streaming MERGE'

@@ -118,6 +118,32 @@ def test_permissive_failure_isolation(main_df, mapping_df):
     assert out.count() == 5
 
 
+def test_permissive_isolates_bad_conditional(main_df):
+    """Regression: an unresolvable Conditional expression must be
+    dropped in permissive mode, not abort the final select."""
+    out = compile_pipeline(main_df, parse_pipeline([
+        {"name": "good", "type": "Direct Map", "source": "amount"},
+        {"name": "bad", "type": "Conditional",
+         "expression": "(`no_such_col` > 1)", "then": "T", "else": "F"},
+    ]), {}, permissive=True)
+    assert out.columns == ["good"]
+    assert out.count() == 5
+
+
+def test_non_ascii_string_literal(main_df, spark):
+    """Regression: 'café' mojibaked through unicode_escape."""
+    assert translate_expr("`s` == 'café'") == "`s` = 'café'"
+    df = spark.createDataFrame([(1, "café"), (2, "cafe")],
+                               "id long, s string")
+    rows = {r["id"]: r["hit"] for r in compile_pipeline(
+        df, parse_pipeline([
+            {"name": "id", "type": "Direct Map", "source": "id"},
+            {"name": "hit", "type": "Conditional",
+             "expression": "`s` == 'café'", "then": "Y", "else": "N"},
+        ]), {}).collect()}
+    assert rows == {1: "Y", 2: "N"}
+
+
 def test_arithmetic_expression_superset(main_df):
     """Imported JSON pipelines reach pandas eval unchecked
     (main.py:327-334,154) — arithmetic + ~ negation must work."""
