@@ -234,6 +234,100 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query(
+    "topn_per_group",
+    oracle="""
+    SELECT ckey, cname, segment, acctbal, rn FROM (
+      SELECT c_custkey AS ckey, c_name AS cname,
+             c_mktsegment AS segment, c_acctbal AS acctbal,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC)
+             AS BIGINT) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (window + filter): Spark optimizes the
+    rn <= k filter into WindowGroupLimit — per-partition heaps, no
+    full sort of each group."""
+    c = load(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("c_acctbal").desc_nulls_last(),
+                  F.col("c_custkey").asc()))
+    return (c.select(F.col("c_custkey").alias("ckey"),
+                     F.col("c_name").alias("cname"),
+                     F.col("c_mktsegment").alias("segment"),
+                     F.col("c_acctbal").alias("acctbal"),
+                     F.row_number().over(w).cast("bigint").alias("rn"))
+             .filter(F.col("rn") <= 3))
+
+
+@query(
+    "conditional_agg",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_big,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               AS open_total,
+           round(avg(CASE WHEN o_totalprice > 200000 THEN 1.0
+                          ELSE 0.0 END), 6) AS big_ratio
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: filtered counts,
+    CASE-gated sums, and ratios in one pass."""
+    o = load(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return (o.groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(F.count(F.when(big, 1)).alias("n_big"),
+                  F.count(F.when(F.col("o_orderstatus") == "F", 1))
+                   .alias("n_finished"),
+                  F.sum(F.when(F.col("o_orderstatus") == "O",
+                               F.col("o_totalprice"))
+                         .otherwise(F.lit(0.0)).cast("decimal(18,4)"))
+                   .cast("double").alias("open_total"),
+                  F.round(F.avg(F.when(big, 1.0).otherwise(0.0)), 6)
+                   .alias("big_ratio")))
+
+
+@query(
+    "string_distance",
+    oracle="""
+    SELECT p1.p_partkey AS pkey_1, p2.p_partkey AS pkey_2,
+           p1.p_name AS name_1, p2.p_name AS name_2,
+           CAST(levenshtein(p1.p_name, p2.p_name) AS BIGINT) AS dist
+    FROM part p1 JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_partkey < p2.p_partkey
+    WHERE levenshtein(p1.p_name, p2.p_name) <= 3
+    """,
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: Levenshtein pairs within a blocking key (same
+    brand) — the record-linkage primitive; blocking bounds the pair
+    space exactly like the dedup operators."""
+    p = load(spark, sf_dir, "part")
+    p1 = p.select(F.col("p_partkey").alias("pkey_1"),
+                  F.col("p_name").alias("name_1"),
+                  F.col("p_brand").alias("_b1"))
+    p2 = p.select(F.col("p_partkey").alias("pkey_2"),
+                  F.col("p_name").alias("name_2"),
+                  F.col("p_brand").alias("_b2"))
+    dist = F.levenshtein("name_1", "name_2")
+    return (p1.join(p2, (F.col("_b1") == F.col("_b2"))
+                    & (F.col("pkey_1") < F.col("pkey_2")))
+              .filter(dist <= 3)
+              .select("pkey_1", "pkey_2", "name_1", "name_2",
+                      dist.cast("bigint").alias("dist")))
+
+
 _PROFILE_COL = """
     SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from .registry import query
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _REV():
+    # Lazy: building a Column requires a live SparkContext, and this
+    # module must stay importable before the driver creates one.
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 
 
@@ -52,7 +57,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy(li.l_orderkey.alias("okey"),
                        o.o_orderdate.alias("orderdate"),
                        o.o_orderpriority.alias("priority"))
-              .agg(F.sum(_REV.cast("decimal(18,4)")).cast("double")
+              .agg(F.sum(_REV().cast("decimal(18,4)")).cast("double")
                     .alias("revenue"))
               .select("okey", "revenue", "orderdate", "priority")
               .orderBy(F.col("revenue").desc(), F.col("okey").asc())
@@ -96,7 +101,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
               .groupBy(n.n_name.alias("nation"))
-              .agg(F.sum(_REV.cast("decimal(18,4)")).cast("double")
+              .agg(F.sum(_REV().cast("decimal(18,4)")).cast("double")
                     .alias("revenue")))
 
 
@@ -134,7 +139,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                        c.c_name.alias("cname"),
                        c.c_acctbal.alias("acctbal"),
                        n.n_name.alias("nation"))
-              .agg(F.sum(_REV.cast("decimal(18,4)")).cast("double")
+              .agg(F.sum(_REV().cast("decimal(18,4)")).cast("double")
                     .alias("revenue"))
               .select("ckey", "cname", "revenue", "acctbal", "nation")
               .orderBy(F.col("revenue").desc(), F.col("ckey").asc())
