@@ -14,6 +14,7 @@ from . import tier0  # noqa: F401,E402
 try:
     from . import tier1  # noqa: F401,E402
     from . import tier1b  # noqa: F401,E402
+    from . import tier1c  # noqa: F401,E402
     from . import tpch_like  # noqa: F401,E402
 except ImportError:
     pass
