@@ -25,5 +25,6 @@ except ImportError:
     pass
 try:
     from . import tier3  # noqa: F401,E402
+    from . import tier3b  # noqa: F401,E402
 except ImportError:
     pass
