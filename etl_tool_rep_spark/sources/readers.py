@@ -63,6 +63,29 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pd.read_excel(path))
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Beyond the reference (no ORC there): columnar alternative to
+    parquet, same predicate-pushdown/column-pruning path in Spark."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line (column ``value``) — the raw-corpus ingest
+    path for unstructured text; pair with chunk/tokenize operators."""
+    return spark.read.text(path)
+
+
+def read_binary(spark: SparkSession, path: str,
+                glob: str | None = None) -> DataFrame:
+    """binaryFile source: (path, modificationTime, length, content) —
+    the multimodal ingest path (images/audio as opaque bytes; see
+    operators/multimodal.py for the decode plumbing)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def sniff_delimiter(path: str, sample_bytes: int = 64 * 1024) -> str:
     """S6 (main.py:86-91): csv.Sniffer over a driver-side head sample —
     the file itself is then read distributed with the detected
@@ -81,6 +104,7 @@ _DISPATCH = {
     ".txt": read_pipe,
     ".json": read_json,
     ".parquet": read_parquet,
+    ".orc": read_orc,
     ".xlsx": read_excel,
     ".xls": read_excel,
 }

@@ -75,6 +75,20 @@ def sessionized_stream(events: DataFrame,
                     "n_events", "total_value"))
 
 
+def deduped_stream(events: DataFrame,
+                   keys: list[str] | None = None,
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key's state only until
+    the watermark passes it, so at-least-once sources (Kafka redelivery,
+    file re-lists) collapse to effectively-once without the unbounded
+    key set a plain dropDuplicates would accumulate. The streaming
+    counterpart of the batch exact_dedup operator."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       timeout_s: int = 120) -> DataFrame:
     """Run a streaming plan over all currently-available input
