@@ -16,6 +16,7 @@ try:
     from . import tier1b  # noqa: F401,E402
     from . import tier1c  # noqa: F401,E402
     from . import tier1d  # noqa: F401,E402
+    from . import tier1e  # noqa: F401,E402
     from . import tpch_like  # noqa: F401,E402
 except ImportError:
     pass

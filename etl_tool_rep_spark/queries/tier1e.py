@@ -1,0 +1,168 @@
+"""Tier 1e — data-quality validation, distribution analytics, and
+the gaps-and-islands idiom.
+
+validate_constraints is the dbt-test / Deequ-shaped surface: each
+constraint is one aggregate (or anti-join) over the table, results
+union to a compact report. At 100 TB every check is a single
+map-side-combinable pass — no constraint materializes row-level
+violations unless asked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+
+@query(
+    "validate_constraints",
+    oracle="""
+    SELECT 'orders.custkey_not_null' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders.orderkey_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                 FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.status_accepted_values',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.custkey_ref_integrity',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    """,
+)
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over orders: not-null, uniqueness, range,
+    accepted values, referential integrity. The four scalar checks
+    fuse into ONE aggregation pass over the table; RI is a broadcast
+    anti-join counted. Output: one row per constraint."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    scalar = o.agg(
+        F.count_if(F.col("o_custkey").isNull()).alias("nn"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uq"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("rng"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P"))
+         .alias("av"))
+    orphans = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey,
+                      "left_anti")
+                .agg(F.count(F.lit(1)).alias("ri")))
+    rows = scalar.crossJoin(orphans)
+
+    def one(name: str, col: str) -> DataFrame:
+        return rows.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(col).cast("bigint").alias("n_violations"))
+
+    return (one("orders.custkey_not_null", "nn")
+            .unionByName(one("orders.orderkey_unique", "uq"))
+            .unionByName(one("orders.totalprice_positive", "rng"))
+            .unionByName(one("orders.status_accepted_values", "av"))
+            .unionByName(one("orders.custkey_ref_integrity", "ri")))
+
+
+@query(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT)
+               AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (50k-wide bins, top bin open-ended): the
+    profiling companion to approx_quantiles. Pure groupBy — one
+    shuffle of 10 partial states regardless of table size."""
+    o = load(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000),
+                   F.lit(9)).cast("bigint")
+    return (o.groupBy(bin_.alias("bin"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.round(F.min("o_totalprice"), 6).alias("lo"),
+                  F.round(F.max("o_totalprice"), 6).alias("hi")))
+
+
+@query(
+    "ratio_to_report",
+    oracle="""
+    WITH per_nation AS (
+      SELECT c_nationkey AS nk,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 AS bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT nk, bal,
+           round(bal / SUM(bal) OVER (), 6) AS share,
+           CAST(RANK() OVER (ORDER BY bal DESC, nk ASC) AS BIGINT)
+               AS bal_rank
+    FROM per_nation
+    """,
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each group's share of the global total via an
+    unpartitioned window over the AGGREGATED (tiny) relation — the
+    single-partition window touches |groups| rows, never the base
+    table, so the classic global-window bottleneck doesn't apply."""
+    c = load(spark, sf_dir, "customer")
+    per_nation = (c.groupBy(F.col("c_nationkey").alias("nk"))
+                   .agg(F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                         .cast("double").alias("bal")))
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("bal").desc(), F.col("nk").asc())
+    return per_nation.select(
+        "nk", "bal",
+        F.round(F.col("bal") / F.sum("bal").over(w_all), 6)
+         .alias("share"),
+        F.rank().over(w_rank).cast("bigint").alias("bal_rank"))
+
+
+@query(
+    "gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE user_id < 60
+    ), marked AS (
+      SELECT user_id, d,
+             CAST(d - INTERVAL (ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d)) DAY AS DATE) AS grp
+      FROM days
+    )
+    SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM marked GROUP BY user_id, grp
+    """,
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user via
+    the date-minus-row_number constant-group trick — the SQL-idiom
+    complement to session_window (which keys on time gaps, not
+    calendar days). One shuffle on user_id shared by the window and
+    the final aggregation."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    return (marked.groupBy("user_id", "grp")
+                  .agg(F.min("d").alias("streak_start"),
+                       F.max("d").alias("streak_end"),
+                       F.count(F.lit(1)).cast("bigint")
+                        .alias("streak_days"))
+                  .drop("grp"))
