@@ -35,6 +35,9 @@ HEADLINE = [
     # LLM-pipeline
     "exact_dedup", "near_dedup_minhash", "embedding_knn",
     "token_count", "quality_score",
+    # retrieval + quality + time series
+    "bm25_search", "chunk_documents", "validate_constraints",
+    "time_series_fill", "snapshot_diff",
 ]
 
 

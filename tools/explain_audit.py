@@ -21,9 +21,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 # queries where an all-pairs/nested-loop shape is the intended
-# algorithm (bounded by tiny query/centroid sides)
+# algorithm (bounded by tiny query/centroid sides), or where the
+# cross join is against a single-row broadcast aggregate (scalar
+# attach: hll merged estimate, fused constraint counters)
 _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
-                   "theta_join_range"}
+                   "theta_join_range", "hll_sketch_merge",
+                   "validate_constraints"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
