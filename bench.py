@@ -32,6 +32,7 @@ HEADLINE = [
     "tumbling_window_agg", "session_window_agg", "asof_join",
     # multi-join analytics
     "tpch_q3_shipping", "tpch_q5_local_volume", "tpch_q10_returns",
+    "tpch_q9_profit", "tpch_q18_large_orders",
     # LLM-pipeline
     "exact_dedup", "near_dedup_minhash", "embedding_knn",
     "token_count", "quality_score",
