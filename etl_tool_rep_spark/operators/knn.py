@@ -192,3 +192,54 @@ def ivf_topk(queries: DataFrame, assigned: DataFrame,
             .filter(F.col("rank") <= k)
             .select(F.col("_qid").alias(query_id),
                     F.col(cand_id), "score", "rank"))
+
+
+def mmr_rerank(scored: DataFrame, lam: float = 0.7,
+               k: int = 10) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick items maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_picked``.
+
+    ``scored`` columns: ``_qid`` (group), ``_cid``, ``relevance``,
+    ``_cv`` (array vector). The greedy loop is inherently sequential
+    *within one query's shortlist*, so it runs as an
+    ``applyInPandas`` grouped kernel over the (small, <=~100-row)
+    per-query candidate set — the expensive part, producing the
+    shortlist, stays distributed (brute force / IVF top-k). At scale
+    this is the standard two-stage retrieve-then-rerank split: stage
+    1 scans billions of vectors in parallel, stage 2 is O(k^2 * dim)
+    per query on already-tiny groups.
+
+    Deterministic: candidates pre-sorted by (relevance desc, id asc);
+    numpy argmax takes the first maximum.
+    """
+    def pick(pdf):
+        import numpy as np
+        pdf = (pdf.sort_values(["relevance", "_cid"],
+                               ascending=[False, True])
+                  .reset_index(drop=True))
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in pdf["_cv"]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sim = unit @ unit.T
+        rel = pdf["relevance"].to_numpy(dtype=np.float64)
+        chosen: list[int] = []
+        avail = list(range(len(pdf)))
+        while avail and len(chosen) < k:
+            if not chosen:
+                best = avail[0]
+            else:
+                red = sim[np.ix_(avail, chosen)].max(axis=1)
+                best = avail[int(np.argmax(lam * rel[avail]
+                                           - (1 - lam) * red))]
+            chosen.append(best)
+            avail.remove(best)
+        out = pdf.iloc[chosen][["_qid", "_cid", "relevance"]].copy()
+        out["mmr_rank"] = range(1, len(chosen) + 1)
+        return out
+
+    return scored.groupBy("_qid").applyInPandas(
+        pick, "_qid bigint, _cid bigint, relevance double, "
+              "mmr_rank bigint")
