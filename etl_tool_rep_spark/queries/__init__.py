@@ -29,5 +29,6 @@ try:
     from . import tier3  # noqa: F401,E402
     from . import tier3b  # noqa: F401,E402
     from . import tier3c  # noqa: F401,E402
+    from . import tier4  # noqa: F401,E402
 except ImportError:
     pass

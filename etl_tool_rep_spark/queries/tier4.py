@@ -1,0 +1,225 @@
+"""Batch 4: storage-layout, graph, and language-model-scoring
+queries — the "would this survive 100 TB" demonstrators.
+
+* ``zorder_layout`` — Morton (Z-order) interleaving as pure bigint
+  bit math; the layout trick behind multi-dimensional data skipping
+  (Delta/Iceberg OPTIMIZE ZORDER): sort by z, and min/max stats per
+  file prune BOTH join keys.
+* ``triangle_count`` — the canonical multi-way self-join graph
+  workload (co-supplier graph); edge list built once, triangles
+  counted with two hash joins over the (a<b)-oriented edges.
+* ``unigram_logprob`` — corpus-level unigram LM perplexity proxy
+  (CCNet-style quality signal): global word frequencies broadcast,
+  per-doc average negative log-likelihood.
+* ``url_extract`` / ``posexplode_op`` — remaining string/array
+  surface (``parse_url``, position-aware explode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+_BITS = 10
+
+
+def _z_sql(x: str, y: str) -> str:
+    """Morton interleave as portable SQL (same text for both engines:
+    only >>, &, *, + on BIGINT)."""
+    terms = []
+    for b in range(_BITS):
+        terms.append(f"((({x} >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"((({y} >> {b}) & 1) * {1 << (2 * b + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT {_z_sql('(l_partkey % 1024)', '(l_suppkey % 1024)')} AS z,
+             l_partkey % 1024 AS px, l_suppkey % 1024 AS sx
+      FROM lineitem)
+    SELECT CAST(z >> 14 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(px) AS BIGINT) AS min_part,
+           CAST(MAX(px) AS BIGINT) AS max_part,
+           CAST(MIN(sx) AS BIGINT) AS min_supp,
+           CAST(MAX(sx) AS BIGINT) AS max_supp
+    FROM keyed GROUP BY z >> 14
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave two join keys, bucket
+    by z-prefix, report per-bucket key ranges.
+
+    Scale: this is how you lay out a 100 TB fact table so parquet
+    min/max stats prune on *either* key — write with
+    ``repartitionByRange(z).sortWithinPartitions(z)`` and every
+    bucket covers a tight (part, supp) rectangle (visible here as
+    narrow min/max spans). The z computation itself is pure bigint
+    bit math in codegen; no UDF, no shuffle beyond the audit agg.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    z = F.expr(_z_sql("(l_partkey % 1024)", "(l_suppkey % 1024)"))
+    return (li.select(z.alias("z"),
+                      (F.col("l_partkey") % 1024).alias("px"),
+                      (F.col("l_suppkey") % 1024).alias("sx"))
+              .groupBy(F.shiftright("z", 14).cast("bigint")
+                        .alias("zbucket"))
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.min("px").cast("bigint").alias("min_part"),
+                   F.max("px").cast("bigint").alias("max_part"),
+                   F.min("sx").cast("bigint").alias("min_supp"),
+                   F.max("sx").cast("bigint").alias("max_supp")))
+
+
+@query(
+    "triangle_count",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                      AND l1.l_suppkey < l2.l_suppkey),
+    tri AS (
+      SELECT COUNT(*) AS nt FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST((SELECT nt FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT a) FROM
+                 (SELECT a FROM edges UNION ALL SELECT b FROM edges) u(a))
+                AS BIGINT) AS n_nodes
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the co-supplier graph (suppliers sharing an
+    order), the standard two-hash-join formulation over oriented
+    (a < b) edges — each triangle counted exactly once.
+
+    Scale: orienting edges a<b halves the edge list and kills
+    duplicate counting without a post-hoc /6; the two joins shuffle
+    on single key columns, and for power-law graphs the high-degree
+    skew is handled by AQE skew-join splitting. Edge construction
+    is a self-join co-partitioned on orderkey.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.toDF("ok", "a")
+    l2 = li.toDF("ok2", "b")
+    edges = (l1.join(l2, (F.col("ok") == F.col("ok2"))
+                     & (F.col("a") < F.col("b")))
+               .select("a", "b").distinct())
+    e1 = edges.toDF("a1", "b1")
+    e2 = edges.toDF("a2", "b2")
+    e3 = edges.toDF("a3", "b3")
+    tri = (e1.join(e2, F.col("b1") == F.col("a2"))
+             .join(e3, (F.col("a3") == F.col("a1"))
+                   & (F.col("b3") == F.col("b2")))
+             .agg(F.count(F.lit(1)).alias("n_triangles")))
+    nodes = (edges.select(F.col("a").alias("n"))
+             .unionAll(edges.select(F.col("b").alias("n")))
+             .agg(F.countDistinct("n").alias("n_nodes")))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (tri.crossJoin(F.broadcast(n_edges))
+               .crossJoin(F.broadcast(nodes))
+               .select("n_triangles", "n_edges", "n_nodes"))
+
+
+@query(
+    "unigram_logprob",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(str_split_regex(text, '\s+')) AS wd
+      FROM documents),
+    freq AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY wd),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
+    SELECT w.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CAST(round(-ln(CAST(f.cnt AS DOUBLE) / t.total), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_neg_logprob
+    FROM words w JOIN freq f ON w.wd = f.wd, tot t
+    GROUP BY w.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: average negative log-prob of
+    each document's words under the corpus unigram LM (CCNet uses a
+    KenLM 5-gram the same way; the plumbing is identical).
+
+    Scale: the vocabulary (freq table) is many orders smaller than
+    the corpus — broadcast it and the scoring pass is map-side; the
+    only corpus-sized shuffle is the doc_id agg. Per-word logs are
+    rounded then decimal-summed so the cross-engine sum is exact
+    regardless of accumulation order.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("wd"))
+    freq = words.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    neglog = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("total")), 6) \
+        .cast("decimal(18,6)")
+    return (words.join(F.broadcast(freq), "wd")
+                 .crossJoin(F.broadcast(tot))
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_words"),
+                      (F.sum(neglog).cast("double")
+                       / F.count(F.lit(1))).alias("avg_neg_logprob")))
+
+
+@query(
+    "url_extract",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.org' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structure extraction via ``parse_url`` (host / path /
+    query parameter) over synthesized per-doc URLs — the oracle
+    recomputes the expected parts from the raw columns, so this
+    checks Spark's parser against ground truth.
+
+    Scale: parse_url is a codegen JVM expression — per-row string
+    work with no shuffle; the common web-pipeline step of grouping
+    by registered domain follows as an ordinary groupBy.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/docs/"), F.col("doc_id"),
+                   F.lit("?lang="), F.col("lang"))
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang"))
+         .alias("lang_param"))
+
+
+@query(
+    "posexplode_op",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, str_split_regex(text, '\s+') AS w
+                 FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS word
+    FROM tok, UNNEST(range(1, len(w) + 1)) AS t(i)
+    """,
+)
+def posexplode_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware explode (LATERAL VIEW POSEXPLODE): token with
+    its 0-based offset — the primitive under token-window chunking
+    and positional n-gram features."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\s+")).alias("pos", "word")))
