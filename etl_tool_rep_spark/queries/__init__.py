@@ -30,5 +30,6 @@ try:
     from . import tier3b  # noqa: F401,E402
     from . import tier3c  # noqa: F401,E402
     from . import tier4  # noqa: F401,E402
+    from . import tier5  # noqa: F401,E402
 except ImportError:
     pass
