@@ -32,7 +32,8 @@ HEADLINE = [
     "tumbling_window_agg", "session_window_agg", "asof_join",
     # multi-join analytics
     "tpch_q3_shipping", "tpch_q5_local_volume", "tpch_q10_returns",
-    "tpch_q9_profit", "tpch_q18_large_orders",
+    "tpch_q9_profit", "tpch_q18_large_orders", "tpch_q1_pricing",
+    "tpch_q8_market_share", "tpch_q21_waiting_supplier",
     # LLM-pipeline
     "exact_dedup", "near_dedup_minhash", "embedding_knn",
     "token_count", "quality_score",

@@ -19,6 +19,7 @@ try:
     from . import tier1e  # noqa: F401,E402
     from . import tpch_like  # noqa: F401,E402
     from . import tpch_like2  # noqa: F401,E402
+    from . import tpch_like3  # noqa: F401,E402
 except ImportError:
     pass
 try:
