@@ -36,7 +36,7 @@ HEADLINE = [
     "tpch_q8_market_share", "tpch_q21_waiting_supplier",
     # LLM-pipeline
     "exact_dedup", "near_dedup_minhash", "embedding_knn",
-    "token_count", "quality_score",
+    "token_count", "quality_score", "passage_dedup", "semantic_dedup",
     # retrieval + quality + time series
     "bm25_search", "chunk_documents", "validate_constraints",
     "time_series_fill", "snapshot_diff",

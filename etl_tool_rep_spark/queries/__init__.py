@@ -20,6 +20,8 @@ try:
     from . import tpch_like  # noqa: F401,E402
     from . import tpch_like2  # noqa: F401,E402
     from . import tpch_like3  # noqa: F401,E402
+    from . import tier6  # noqa: F401,E402
+    from . import tier7  # noqa: F401,E402
 except ImportError:
     pass
 try:
