@@ -22,6 +22,7 @@ try:
     from . import tpch_like3  # noqa: F401,E402
     from . import tier6  # noqa: F401,E402
     from . import tier7  # noqa: F401,E402
+    from . import tier8  # noqa: F401,E402
 except ImportError:
     pass
 try:

@@ -26,7 +26,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # attach: hll merged estimate, fused constraint counters)
 _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "theta_join_range", "hll_sketch_merge",
-                   "validate_constraints"}
+                   "validate_constraints",
+                   # tiny bin grid: distinct event_types x range(10)
+                   "psi_drift"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
