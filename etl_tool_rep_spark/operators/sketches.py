@@ -55,3 +55,60 @@ def heavy_hitters(df: DataFrame, col: str, min_count: int,
               .groupBy(col)
               .agg(F.count(F.lit(1)).alias("cnt"))
               .filter(F.col("cnt") >= min_count))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode/Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+
+def cms_build(df: DataFrame, col: str, depth: int = 4,
+              width: int = 2048) -> DataFrame:
+    """Build a count-min sketch of ``col`` as a (row, bucket, cnt)
+    DataFrame — depth*width counters total, independent of key
+    cardinality. Entirely JVM-side: each value fans out to ``depth``
+    (row, xxhash64(value, row) mod width) cells via one explode, then
+    a map-side-combinable groupBy counts each cell.
+
+    The sketch is MERGEABLE (cells are additive — see ``cms_merge``),
+    so per-partition / per-day sketches roll up without rescanning:
+    the 100 TB pattern is sketch-per-partition, merge at read time.
+    """
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 F.pmod(F.xxhash64(F.col(col), F.lit(d)),
+                        F.lit(width)).cast("int").alias("bucket"))
+        for d in range(depth)])
+    return (df.select(F.explode(cells).alias("c"))
+              .select("c.row", "c.bucket")
+              .groupBy("row", "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with identical (depth, width):
+    cell-wise sum — the estimate of the merge equals the estimate of
+    the concatenated input (counters are linear)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str,
+                 depth: int = 4, width: int = 2048) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: probe the
+    depth cells and take the MIN (CM guarantees est >= true count,
+    and est <= true + eps*N with prob 1-delta for eps=e/width,
+    delta=e^-depth). The sketch side is tiny (depth*width rows) so
+    the probe join broadcasts."""
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 F.pmod(F.xxhash64(F.col(col), F.lit(d)),
+                        F.lit(width)).cast("int").alias("bucket"))
+        for d in range(depth)])
+    probes = (keys.select(col, F.explode(cells).alias("c"))
+                  .select(col, "c.row", "c.bucket"))
+    return (probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+                  .groupBy(col)
+                  .agg(F.min(F.coalesce("cnt", F.lit(0)))
+                        .alias("cms_est")))
