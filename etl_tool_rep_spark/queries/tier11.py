@@ -1,0 +1,356 @@
+"""Tier-11 queries: corpus/ops diagnostics — vocabulary growth
+(Heaps' law), funnel latency, seasonal-baseline anomalies, join-key
+skew profiling, and a Poisson-bootstrap confidence interval.
+
+No counterpart in the reference (/root/reference/main.py implements
+only Direct Map / Conditional / Lookup); these extend the analytics
+surface per the BASELINE.json capability mandate. Skew profiling and
+the Poisson bootstrap are specifically 100 TB tools: the first tells
+you whether a shuffle key needs salting BEFORE you run the join, the
+second replaces resample-with-replacement (impossible distributed)
+with independent per-row Poisson weights (Chamandy et al., "Estimating
+uncertainty for massive data streams", Google 2012).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth / Heaps' law curve
+# ---------------------------------------------------------------------------
+
+@query(
+    "vocab_growth",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents),
+    firsts AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM words GROUP BY w),
+    news AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS new_words
+      FROM firsts GROUP BY first_doc),
+    toks AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM words GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_tok AS BIGINT) AS n_tok,
+           CAST(COALESCE(n.new_words, 0) AS BIGINT) AS new_words,
+           CAST(SUM(COALESCE(n.new_words, 0))
+                OVER (ORDER BY t.doc_id ASC) AS BIGINT) AS vocab_size,
+           CAST(SUM(t.n_tok) OVER (ORDER BY t.doc_id ASC) AS BIGINT)
+             AS cum_tok
+    FROM toks t LEFT JOIN news n ON n.doc_id = t.doc_id
+    """,
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: documents consumed in
+    doc_id order; for each, the number of never-seen-before words it
+    introduces, the running distinct-vocabulary size, and the running
+    token count. V(n) ~ K n^beta on natural text — a corpus whose
+    curve flattens abnormally fast is template spam; one that never
+    flattens is OCR noise (tokenizer-vocab planning uses this curve).
+
+    Scale: running COUNT DISTINCT is not windowable, so it is
+    decomposed: first-occurrence doc per word (one shuffle on word),
+    new-word counts per doc (tiny), then a cumulative sum over docs.
+    The word shuffle is the only wide stage and combines map-side;
+    the cumulative window orders by doc_id only over the per-doc
+    aggregate (corpus-cardinality rows, not token-cardinality).
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z]+"), F.lit(0))).alias("w"))
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    news = (firsts.groupBy(F.col("first_doc").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("new_words")))
+    toks = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    w_cum = (Window.orderBy(F.asc("doc_id"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nw = F.coalesce("new_words", F.lit(0))
+    return (toks.join(news, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tok").cast("bigint").alias("n_tok"),
+                    nw.cast("bigint").alias("new_words"),
+                    F.sum(nw).over(w_cum).cast("bigint")
+                     .alias("vocab_size"),
+                    F.sum("n_tok").over(w_cum).cast("bigint")
+                     .alias("cum_tok")))
+
+
+# ---------------------------------------------------------------------------
+# funnel latency: first view -> first subsequent purchase
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT v.user_id, v.first_view, MIN(e.ts) AS first_purchase
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+       AND e.ts >= v.first_view
+      GROUP BY v.user_id, v.first_view)
+    SELECT user_id, first_view, first_purchase,
+           CAST(date_diff('second', first_view, first_purchase)
+                AS BIGINT) AS latency_sec
+    FROM p
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: each user's first 'view' and the first
+    'purchase' at-or-after it, with the latency in seconds — the
+    metric behind conversion-latency percentiles (the `funnel_
+    conversion` query counts stage reach; this one measures speed).
+
+    Scale: two filtered min-aggregates and one equi-join on user_id —
+    the purchase side is pre-filtered and pre-aggregated per user
+    BEFORE the join (conditional min with a >= predicate pushed into
+    the join), so nothing quadratic touches the raw event log.
+    """
+    e = load(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    p = (v.join(e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts"), "user_id")
+         .filter(F.col("ts") >= F.col("first_view"))
+         .groupBy("user_id", "first_view")
+         .agg(F.min("ts").alias("first_purchase")))
+    return p.select(
+        "user_id", "first_view", "first_purchase",
+        (F.unix_timestamp("first_purchase")
+         - F.unix_timestamp("first_view")).cast("bigint")
+        .alias("latency_sec"))
+
+
+# ---------------------------------------------------------------------------
+# seasonal (day-of-week) baseline anomaly flags
+# ---------------------------------------------------------------------------
+
+@query(
+    "seasonal_baseline",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    dow AS (
+      SELECT day, rev, dayofweek(day) + 1 AS dw,  -- Spark: 1=Sunday
+             COUNT(*) OVER (PARTITION BY dayofweek(day)) AS n,
+             SUM(rev) OVER (PARTITION BY dayofweek(day)) AS s,
+             SUM(CAST(rev AS HUGEINT) * rev)
+               OVER (PARTITION BY dayofweek(day)) AS ss
+      FROM daily)
+    SELECT day, CAST(dw AS INT) AS dw, rev / 100.0 AS rev,
+           ROUND(s / CAST(n AS DOUBLE) / 100.0, 4) AS baseline,
+           ROUND((rev - s / CAST(n AS DOUBLE))
+                 / (100.0 * sqrt(GREATEST(
+                     ss / CAST(n AS DOUBLE)
+                     - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)),
+                     1e-12))) * 100.0, 6) AS zscore
+    FROM dow
+    """,
+)
+def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline: each day's revenue against the
+    mean and population-stddev of ITS weekday, as a z-score — the
+    'is Tuesday low for a Tuesday?' monitor that a raw global
+    threshold gets wrong on weekly-periodic series.
+
+    All moments are exact BIGINT sums of integer cents (rev, rev^2),
+    so mean/variance are identical across engines down to the final
+    double ops; the z-score is rounded at 6dp. Scale: two window
+    aggregates over 7 partitions of per-day rows — the fact scan
+    collapses to days first (map-side), the window input is tiny.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("rev")))
+    dw = F.dayofweek("day")
+    wd = Window.partitionBy(dw)
+    n = F.count(F.lit(1)).over(wd)
+    s = F.sum("rev").over(wd)
+    revd = F.col("rev").cast("decimal(19,0)")
+    ss = F.sum(revd * revd).over(wd)
+    mean = s / n.cast("double")
+    var = F.greatest(ss / n.cast("double") - mean * mean, F.lit(1e-12))
+    return daily.select(
+        "day", dw.cast("int").alias("dw"),
+        (F.col("rev") / 100.0).alias("rev"),
+        F.round(mean / 100.0, 4).alias("baseline"),
+        F.round((F.col("rev") - mean) / (F.lit(100.0) * F.sqrt(var))
+                * 100.0, 6).alias("zscore"))
+
+
+# ---------------------------------------------------------------------------
+# join-key skew profile (pre-shuffle planning diagnostic)
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+@query(
+    "skew_profile",
+    oracle="""
+    WITH stacked AS (
+      SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+    counts AS (
+      SELECT key_col, k, COUNT(*) AS c
+      FROM stacked GROUP BY key_col, k),
+    tot AS (
+      SELECT key_col, SUM(c) AS n, COUNT(*) AS n_keys, MAX(c) AS max_c,
+             CAST(SUM(CAST(c AS DECIMAL(20,10)) * CAST(c AS DECIMAL(20,10)))
+                  AS DECIMAL(38,10)) AS sum_c2
+      FROM counts GROUP BY key_col)
+    SELECT key_col,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(max_c AS BIGINT) AS max_count,
+           ROUND(max_c / CAST(n AS DOUBLE), 6) AS top_share,
+           ROUND(max_c * CAST(n_keys AS DOUBLE) / n, 6) AS skew_factor,
+           ROUND(CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+             AS collision_prob
+    FROM tot
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for the three lineitem join keys:
+    per key column, the heaviest key's row count and share, the
+    skew factor (max_count / average count — >>1 means one reducer
+    drags the stage), and the self-join collision probability
+    sum(c^2)/n^2 (the expected blow-up of joining the table to
+    itself on that key). This is the query you run BEFORE a 100 TB
+    join to decide between plain shuffle, AQE skew split, and
+    salting (operators/skew.py).
+
+    Scale: one stacked scan (3x projection union — still one pass
+    over each column), a combinable per-key count, and a 3-group
+    rollup; no row ever leaves with more than (key_col, k, c).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    stacked = None
+    for kc in _SKEW_KEYS:
+        part = li.select(F.lit(kc).alias("key_col"),
+                         F.col(kc).alias("k"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    counts = stacked.groupBy("key_col", "k").agg(
+        F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("decimal(20,10)")
+    tot = counts.groupBy("key_col").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_c"),
+        F.sum(cd * cd).cast("decimal(38,10)").alias("sum_c2"))
+    return tot.select(
+        "key_col",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("max_c").cast("bigint").alias("max_count"),
+        F.round(F.col("max_c") / F.col("n").cast("double"), 6)
+         .alias("top_share"),
+        F.round(F.col("max_c") * F.col("n_keys").cast("double")
+                / F.col("n"), 6).alias("skew_factor"),
+        F.round(F.col("sum_c2").cast("double")
+                / (F.col("n").cast("double") * F.col("n")), 6)
+         .alias("collision_prob"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval for a mean
+# ---------------------------------------------------------------------------
+
+_N_BOOT = 100
+
+
+@query(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_type,
+             CAST(e.value AS DECIMAL(18,6)) AS x,
+             b.b,
+             CAST(concat('0x', substr(
+               md5(concat(CAST(e.event_id AS VARCHAR), '_',
+                          CAST(b.b AS VARCHAR))), 1, 6)) AS BIGINT)
+               % 1000000 AS u
+      FROM events e,
+           (SELECT UNNEST(range({_N_BOOT})) AS b) b),
+    weighted AS (
+      SELECT event_type, b,
+             CASE WHEN u < 367879 THEN 0
+                  WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2
+                  WHEN u < 981012 THEN 3
+                  WHEN u < 996340 THEN 4
+                  WHEN u < 999406 THEN 5
+                  ELSE 6 END AS w,
+             x
+      FROM reps),
+    means AS (
+      SELECT event_type, b,
+             CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+      FROM weighted GROUP BY event_type, b
+      HAVING SUM(w) > 0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means GROUP BY event_type
+    """,
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean event value per
+    event type — by POISSON bootstrap: each (row, replicate) draws an
+    independent Poisson(1) weight from an md5-derived uniform (inverse
+    CDF as a 7-branch CASE), replicate mean = sum(w*x)/sum(w), CI =
+    2.5/97.5 percentiles over {_N_BOOT} replicate means. Classic
+    resample-with-replacement needs global coordinated sampling;
+    Poisson weights are per-row independent, which is what makes the
+    bootstrap distributable (Chamandy et al. 2012).
+
+    Determinism: weights derive from md5 (bit-identical in DuckDB),
+    weighted sums run in DECIMAL, and the percentile interpolation is
+    quantile_cont in both engines. Scale: the replicate fan-out is a
+    flat map (x{_N_BOOT}); everything after is map-side-combinable
+    aggregation keyed by (type, replicate) — no global state, no
+    driver-side resampling.
+    """
+    e = load(spark, sf_dir, "events")
+    reps = (e.select("event_type", "event_id",
+                     F.col("value").cast("decimal(18,6)").alias("x"))
+            .withColumn("b", F.explode(F.sequence(
+                F.lit(0), F.lit(_N_BOOT - 1)))))
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        "_", F.col("event_id").cast("string"),
+        F.col("b").cast("string"))), 1, 6), 16, 10)
+         .cast("bigint") % 1000000)
+    # inverse-CDF of Poisson(1): P(0)=.3679 P(<=1)=.7358 P(<=2)=.9197 ...
+    w = (F.when(u < 367879, 0).when(u < 735759, 1).when(u < 919699, 2)
+         .when(u < 981012, 3).when(u < 996340, 4).when(u < 999406, 5)
+         .otherwise(6))
+    means = (reps.withColumn("w", w)
+             .groupBy("event_type", "b")
+             .agg(F.sum(F.col("w") * F.col("x")).alias("sw"),
+                  F.sum("w").alias("n"))
+             .filter(F.col("n") > 0)
+             .select("event_type",
+                     (F.col("sw").cast("double") / F.col("n")).alias("m")))
+    return (means.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+                 F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+                 F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi")))
