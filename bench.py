@@ -40,6 +40,9 @@ HEADLINE = [
     # retrieval + quality + time series
     "bm25_search", "chunk_documents", "validate_constraints",
     "time_series_fill", "snapshot_diff",
+    # eval metrics + corpus assembly + diagnostics
+    "auc_metric", "sequence_pack", "market_basket",
+    "vocab_growth", "bootstrap_ci", "skew_profile",
 ]
 
 

@@ -26,6 +26,7 @@ try:
     from . import tier9  # noqa: F401,E402
     from . import tier10  # noqa: F401,E402
     from . import tier11  # noqa: F401,E402
+    from . import tier12  # noqa: F401,E402
 except ImportError:
     pass
 try:
