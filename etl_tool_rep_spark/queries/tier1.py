@@ -334,15 +334,34 @@ def distinct_rows(spark, sf_dir):
              .distinct())
 
 
-@query("approx_distinct")  # rows-only: HLL estimate is engine-specific
+@query(
+    "approx_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem
+    """,
+)
 def approx_distinct(spark, sf_dir):
-    """HyperLogLog count-distinct — sketch-based, so only a rows-level
-    oracle; exactness is asserted separately in tests vs a true
-    count-distinct (rsd bound)."""
+    """HyperLogLog count-distinct. The raw HLL estimate is
+    engine-specific, so the declared contract is SQL-attestable:
+    the exact distinct counts plus booleans asserting the Spark HLL
+    estimate (rsd=0.02) landed within 5% of exact — deterministic for
+    a fixed input, and the oracle states the booleans must be TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"))
+    pct = lambda a, e: (F.abs(F.col(a) - F.col(e))
+                        <= 0.05 * F.col(e))  # noqa: E731
+    return agg.select(
+        "exact_parts", "exact_orders",
+        pct("approx_parts", "exact_parts").alias("parts_within_5pct"),
+        pct("approx_orders", "exact_orders").alias("orders_within_5pct"))
 
 
 # ---------------------------------------------------------------------------
@@ -708,19 +727,33 @@ def json_funcs(spark, sf_dir):
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
            embedding[1] AS first_elem,
-           embedding[1:3] AS head3,
+           array_to_string(
+               list_transform(embedding[1:3],
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE), 5)
+                                  AS DECIMAL(12,5)) AS VARCHAR)), ',')
+               AS head3,
            round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vec_sum,
            label IN (0, 1) AS label_low
     FROM embeddings
     """,
 )
 def array_funcs(spark, sf_dir):
+    """Array slice/element/aggregate built-ins. The sliced head is
+    serialized to a comma-joined decimal string (round→DECIMAL→string
+    is identical across engines, unlike raw double repr) so the
+    declared output carries no list-typed cells for the driver's
+    hasher."""
     em = load(spark, sf_dir, "embeddings")
     return em.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
         F.element_at("embedding", 1).alias("first_elem"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double"), 5)
+                           .cast("decimal(12,5)").cast("string")),
+            ",").alias("head3"),
         F.round(F.aggregate(
             "embedding", F.lit(0.0),
             lambda acc, x: acc + x.cast("double")), 6).alias("vec_sum"),

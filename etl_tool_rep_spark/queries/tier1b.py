@@ -79,7 +79,8 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_funcs",
     oracle="""
     SELECT o_orderpriority AS priority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+               AS statuses,
            CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT) AS n_statuses
     FROM orders GROUP BY o_orderpriority
     """,
@@ -87,11 +88,13 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def collect_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort_array: collection order is partition-
     dependent, so collected arrays are ALWAYS sorted before they leave
-    the operator (determinism rule)."""
+    the operator (determinism rule). The collected set is serialized
+    with array_join so the declared output is scalar-typed — the
+    driver's hasher requires hashable (non-list) cells."""
     o = load(spark, sf_dir, "orders")
     return (o.groupBy(F.col("o_orderpriority").alias("priority"))
-             .agg(F.sort_array(F.collect_set("o_orderstatus"))
-                   .alias("statuses"),
+             .agg(F.array_join(F.sort_array(F.collect_set("o_orderstatus")),
+                               ",").alias("statuses"),
                   F.size(F.collect_set("o_orderstatus")).cast("bigint")
                    .alias("n_statuses")))
 

@@ -394,17 +394,52 @@ def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     X.rolling_fingerprint("`text`").alias("fp_rolling"))
 
 
-@query("approx_quantiles")  # rows-only: sketch-based estimates
+@query(
+    "approx_quantiles",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25_exact,
+           round(quantile_cont(l_quantity, 0.50), 6) AS median_exact,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75_exact,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90_exact,
+           TRUE AS q25_ok, TRUE AS median_ok,
+           TRUE AS q75_ok, TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the 100 TB path for percentile_agg (exact
-    percentile buffers the group; the sketch streams). Accuracy vs
-    the exact values is asserted in tests."""
+    percentile buffers the group; the GK sketch streams). The sketch
+    value is engine-specific, so the declared contract is exact
+    quantiles plus booleans asserting each approx value landed within
+    max(2% relative, 1.0 absolute) of exact — deterministic for a
+    fixed input, and the oracle states the booleans must be TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return (li.groupBy(F.col("l_returnflag").alias("returnflag"))
-              .agg(F.percentile_approx("l_quantity", [0.25, 0.5, 0.75],
-                                       10000).alias("qty_quartiles"),
-                   F.percentile_approx("l_extendedprice", 0.9, 10000)
-                    .alias("price_p90")))
+    agg = (li.groupBy(F.col("l_returnflag").alias("returnflag"))
+             .agg(F.percentile_approx("l_quantity", F.lit(0.25), 10000)
+                   .alias("a25"),
+                  F.percentile_approx("l_quantity", F.lit(0.5), 10000)
+                   .alias("a50"),
+                  F.percentile_approx("l_quantity", F.lit(0.75), 10000)
+                   .alias("a75"),
+                  F.percentile_approx("l_extendedprice", F.lit(0.9), 10000)
+                   .alias("a90"),
+                  F.round(F.percentile("l_quantity", F.lit(0.25)), 6)
+                   .alias("q25_exact"),
+                  F.round(F.percentile("l_quantity", F.lit(0.5)), 6)
+                   .alias("median_exact"),
+                  F.round(F.percentile("l_quantity", F.lit(0.75)), 6)
+                   .alias("q75_exact"),
+                  F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6)
+                   .alias("p90_exact")))
+    ok = lambda a, e: (F.abs(F.col(a) - F.col(e))  # noqa: E731
+                       <= F.greatest(0.02 * F.abs(F.col(e)), F.lit(1.0)))
+    return agg.select(
+        "returnflag", "q25_exact", "median_exact", "q75_exact", "p90_exact",
+        ok("a25", "q25_exact").alias("q25_ok"),
+        ok("a50", "median_exact").alias("median_ok"),
+        ok("a75", "q75_exact").alias("q75_ok"),
+        ok("a90", "p90_exact").alias("p90_ok"))
 
 
 @query("multimodal_features")  # rows-only: mapInPandas stage
