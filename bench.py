@@ -7,12 +7,21 @@ execution via the noop sink (no driver-side collect cost), and prints:
 
     {"metric": "total_headline_sec", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1}
+
+Hygiene (round-3): each headline query runs $SPARK_GRAFT_BENCH_ITERS
+times (default 4); the first iteration is discarded as warm-up
+(JIT/codegen/shuffle-file cache) and the reported number is the median
+of the rest.  Every remaining registered query is also timed once and
+recorded under "all_queries" so regressions outside the headline set
+are visible round-over-round.  Set SPARK_GRAFT_BENCH_FULL=0 to skip
+the full sweep (fast local iteration).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_tool_rep_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "4")))
+FULL = os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0"
 
 HEADLINE = [
     # reference-faithful flagship
@@ -46,6 +57,12 @@ HEADLINE = [
 ]
 
 
+def _time_one(spark, fn) -> float:
+    t0 = time.perf_counter()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     spark = get_spark("bench")
     from etl_tool_rep_spark.queries import QUERIES
@@ -57,28 +74,48 @@ def main() -> None:
     (spark.range(1000).select(sigmoid_score(F.col("id").cast("double")))
      .write.format("noop").mode("overwrite").save())
 
-    # min of 2 iterations: first-run JIT/codegen/GC noise on local[32]
-    # is 2-3x on some queries; steady-state is what scales.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # n iterations per query, interleaved by pass so GC/compilation noise
+    # is spread evenly; first pass discarded, median of the rest reported.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(ITERS):
         for name in HEADLINE:
-            fn = QUERIES[name]
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            samples[name].append(_time_one(spark, QUERIES[name]))
+    timings = {
+        name: round(statistics.median(vals[1:]), 3)
+        for name, vals in samples.items()
+    }
 
-    try:
-        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = None
-    print(json.dumps({
+    # one-pass sweep of every other registered query (regression tripwire)
+    all_queries: dict[str, float] = {}
+    if FULL:
+        for name, fn in QUERIES.items():
+            if name in samples:
+                all_queries[name] = timings[name]
+                continue
+            try:
+                all_queries[name] = _time_one(spark, fn)
+            except Exception:
+                all_queries[name] = -1.0  # failed; correctness gate will say why
+
+    out = {
         "metric": "total_headline_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": sf,
-    }))
+        "sf": _sf(),
+        "iters": ITERS,
+        "stat": "median_after_warmup_discard",
+    }
+    if all_queries:
+        out["all_queries"] = all_queries
+    print(json.dumps(out))
+
+
+def _sf():
+    try:
+        return float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return None
 
 
 if __name__ == "__main__":

@@ -142,8 +142,10 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             bands: int = DEFAULT_BANDS,
                             min_jaccard: float = 0.0) -> DataFrame:
     """LSH candidate pairs with estimated (signature-agreement) and
-    exact (shingle-set) Jaccard. Returns (id_1, id_2, est_jaccard,
-    jaccard) with id_1 < id_2."""
+    verified (hashed-shingle-set) Jaccard — the verify pass compares
+    64-bit shingle hashes, not raw shingle strings, so it is exact up
+    to hash collisions (~2^-64 per shingle pair). Returns (id_1,
+    id_2, est_jaccard, jaccard) with id_1 < id_2."""
     rows = k // bands
     # Shingling + k permutations is the compute-dense stage (higher-
     # order functions evaluate interpreted, not codegen): spread it

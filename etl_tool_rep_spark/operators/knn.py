@@ -147,17 +147,38 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                vec_id: str, vec_col: str,
                centroid_id: str = "centroid_id",
                centroid_vec: str = "centroid_vec") -> DataFrame:
-    """Assign every vector to its nearest (cosine) centroid — one
-    broadcast pass, argmax via window."""
-    c = centroids.select(F.col(centroid_id), F.col(centroid_vec))
-    joined = vectors.crossJoin(F.broadcast(c))
-    sim = cosine(F.col(vec_col), F.col(centroid_vec))
-    w = (Window.partitionBy(vec_id)
-         .orderBy(F.col("_sim").desc(), F.col(centroid_id).asc()))
-    return (joined.withColumn("_sim", sim)
-                  .withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1)
-                  .drop("_rn", "_sim", centroid_vec))
+    """Assign every vector to its nearest (cosine) centroid with a
+    zero-shuffle broadcast argmax: centroids (nlist x dim — always
+    index-metadata-sized) are collected once and inlined as literal
+    arrays, each vector computes its per-centroid similarity array
+    and takes ``array_position(sims, array_max(sims))`` — the same
+    pattern as ``kmeans_assign`` (operators/kmeans.py). No row
+    fan-out, no window, no Exchange: one narrow map over the data.
+
+    Ties break to the lowest centroid_id (centroids evaluated in
+    centroid_id order; array_position returns the first maximum),
+    matching the previous window (_sim desc, centroid_id asc)."""
+    import math
+
+    rows = (centroids.select(centroid_id, centroid_vec)
+            .orderBy(centroid_id).collect())
+    cids = [r[centroid_id] for r in rows]
+    cvecs = [[float(x) for x in r[centroid_vec]] for r in rows]
+
+    vnorm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    sims = []
+    for cv in cvecs:
+        # math.sqrt(sum(...)) is the same left-to-right double
+        # accumulation as the JVM F.aggregate in dot() — bit-identical
+        # to computing sqrt(dot(c, c)) executor-side.
+        cnorm = math.sqrt(sum(x * x for x in cv))
+        lit = F.array(*[F.lit(x) for x in cv])
+        sims.append(dot(F.col(vec_col), lit) / (vnorm * F.lit(cnorm)))
+    sim_arr = F.array(*sims)
+    id_arr = F.array(*[F.lit(c) for c in cids])
+    pos = F.array_position(sim_arr, F.array_max(sim_arr)).cast("int")
+    return (vectors
+            .withColumn(centroid_id, F.element_at(id_arr, pos)))
 
 
 def ivf_topk(queries: DataFrame, assigned: DataFrame,

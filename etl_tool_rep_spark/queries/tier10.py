@@ -267,20 +267,53 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth deciles of order value: NTILE(10) over a total order
-    (price, orderkey) — every bin holds n/10 +-1 rows regardless of
-    skew, unlike the fixed-width `histogram_bins`. Reports each
-    decile's population, boundaries, and decimal-exact total.
+    """Equi-depth deciles of order value, exactly reproducing
+    NTILE(10) over the total order (price, orderkey) — every bin
+    holds n/10 +-1 rows regardless of skew, unlike the fixed-width
+    `histogram_bins`. Reports each decile's population, boundaries,
+    and decimal-exact total.
 
-    Scale: NTILE over a global ORDER BY is a range-partitioned sort
-    (parallel), but the single window partition serializes the rank
-    pass — at 100 TB swap to approx_percentile cutpoints + a map-side
-    bucket join (the `approx_quantiles` query is that path).
+    Scale path (round 3): the global rank is a two-level prefix sum,
+    never a single-partition window. (1) range-partition by the sort
+    key — parallel sampled-boundary shuffle; (2) row_number within
+    each partition — windows partitioned by partition id, all
+    parallel; (3) per-partition counts (numPartitions rows) joined
+    into exclusive offsets with a broadcast triangular self-join, so
+    global_rank = offset[pid] + local_rn; (4) NTILE's bucket formula
+    applied arithmetically: the first n%10 buckets get n/10+1 rows.
+    Identical output to ntile(10), but the only data-sized shuffles
+    are the range partition and the final 10-group aggregate.
     """
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    t = o.select("o_totalprice", F.ntile(10).over(w).alias("bin"))
-    return t.groupBy("bin").agg(
+    npart = spark.sparkContext.defaultParallelism
+    t = (o.select("o_totalprice", "o_orderkey")
+         .repartitionByRange(npart, F.asc("o_totalprice"),
+                             F.asc("o_orderkey"))
+         .withColumn("_pid", F.spark_partition_id()))
+    pc = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # exclusive prefix offsets over numPartitions rows: broadcast
+    # triangular self-join (no global window, no warning)
+    x, y = pc.alias("x"), pc.alias("y")
+    offs = (x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"),
+                   "left")
+             .groupBy(F.col("x._pid").alias("_pid"))
+             .agg(F.coalesce(F.sum("y._c"), F.lit(0)).alias("_off")))
+    tot = pc.agg(F.sum("_c").alias("_n"))
+    wloc = (Window.partitionBy("_pid")
+            .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
+    r = (t.withColumn("_lrn", F.row_number().over(wloc))
+          .join(F.broadcast(offs), "_pid")
+          .crossJoin(F.broadcast(tot))
+          .withColumn("_r", F.col("_off") + F.col("_lrn")))
+    base = F.floor(F.col("_n") / 10)
+    rem = F.col("_n") % 10
+    head = rem * (base + 1)  # rows covered by the fat buckets
+    bin_col = F.when(base == 0, F.col("_r")) \
+        .when(F.col("_r") <= head,
+              F.floor((F.col("_r") - 1) / (base + 1)) + 1) \
+        .otherwise(rem + F.floor((F.col("_r") - head - 1) / base) + 1)
+    t2 = r.select("o_totalprice", bin_col.cast("int").alias("bin"))
+    return t2.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
@@ -369,15 +402,24 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each unordered pair counted once), then scored against the
     independence baseline. The classic association-rule seed.
 
-    Scale: the self-join fans out quadratically in basket size, so at
-    100 TB cap baskets first (collect_list + size filter, or the
-    `heavy_hitters` pre-pass to keep only frequent parts — a priori
-    pruning); the per-part counts are broadcast-sized after pruning.
-    Here baskets average ~4 items, so the equi-join on l_orderkey is
-    one shuffle co-partitioned with the pair aggregation.
+    Scale: the self-join fans out quadratically in basket size, so
+    baskets above ``max_basket_size`` are dropped before the join
+    (a-priori pruning: one co-partitioned count + semi-join on the
+    order key, no extra wide shuffle). One pathological 10k-item
+    basket would otherwise fan out 10^8 pairs on a single key — a
+    skew bomb at 100 TB. TPC-H baskets hold <= 7 items, so the cap
+    never fires on the test fixtures and the oracle (uncapped) still
+    matches; on a real corpus tune the cap or add a `heavy_hitters`
+    frequent-part pre-pass.
     """
+    max_basket_size = 100
     li = load(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
+    small = (items.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("_bs"))
+             .filter(F.col("_bs") <= max_basket_size)
+             .select("l_orderkey"))
+    items = items.join(small, "l_orderkey", "left_semi")
     n = items.select(F.countDistinct("l_orderkey").alias("n"))
     part_cnt = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_p"))

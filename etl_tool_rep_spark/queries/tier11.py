@@ -58,10 +58,13 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: running COUNT DISTINCT is not windowable, so it is
     decomposed: first-occurrence doc per word (one shuffle on word),
-    new-word counts per doc (tiny), then a cumulative sum over docs.
-    The word shuffle is the only wide stage and combines map-side;
-    the cumulative window orders by doc_id only over the per-doc
-    aggregate (corpus-cardinality rows, not token-cardinality).
+    new-word counts per doc (tiny), then cumulative sums over docs.
+    The cumulative sums are a two-level prefix sum (round 3), never a
+    single-partition window: range-partition by doc_id, local running
+    sums per partition (windows keyed by partition id, all parallel),
+    then per-partition totals (numPartitions rows) become exclusive
+    offsets via a broadcast triangular self-join — same pattern as
+    `equidepth_bins` / `pareto_frontier`. Works at any doc count.
     """
     d = load(spark, sf_dir, "documents")
     words = d.select(
@@ -72,16 +75,31 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     news = (firsts.groupBy(F.col("first_doc").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("new_words")))
     toks = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    w_cum = (Window.orderBy(F.asc("doc_id"))
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     nw = F.coalesce("new_words", F.lit(0))
-    return (toks.join(news, "doc_id", "left")
-            .select("doc_id",
-                    F.col("n_tok").cast("bigint").alias("n_tok"),
-                    nw.cast("bigint").alias("new_words"),
-                    F.sum(nw).over(w_cum).cast("bigint")
+    joined = (toks.join(news, "doc_id", "left")
+              .select("doc_id",
+                      F.col("n_tok").cast("bigint").alias("n_tok"),
+                      nw.cast("bigint").alias("new_words")))
+    npart = spark.sparkContext.defaultParallelism
+    t = (joined.repartitionByRange(npart, F.asc("doc_id"))
+         .withColumn("_pid", F.spark_partition_id()))
+    wloc = (Window.partitionBy("_pid").orderBy(F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = (t.withColumn("_lv", F.sum("new_words").over(wloc))
+          .withColumn("_lt", F.sum("n_tok").over(wloc)))
+    pt = t.groupBy("_pid").agg(F.sum("new_words").alias("_sv"),
+                               F.sum("n_tok").alias("_st"))
+    x, y = pt.alias("x"), pt.alias("y")
+    offs = (x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"),
+                   "left")
+             .groupBy(F.col("x._pid").alias("_pid"))
+             .agg(F.coalesce(F.sum("y._sv"), F.lit(0)).alias("_ov"),
+                  F.coalesce(F.sum("y._st"), F.lit(0)).alias("_ot")))
+    return (t.join(F.broadcast(offs), "_pid")
+            .select("doc_id", "n_tok", "new_words",
+                    (F.col("_lv") + F.col("_ov")).cast("bigint")
                      .alias("vocab_size"),
-                    F.sum("n_tok").over(w_cum).cast("bigint")
+                    (F.col("_lt") + F.col("_ot")).cast("bigint")
                      .alias("cum_tok")))
 
 
@@ -315,7 +333,7 @@ _N_BOOT = 100
 def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap confidence interval for the mean event value per
     event type — by POISSON bootstrap: each (row, replicate) draws an
-    independent Poisson(1) weight from an md5-derived uniform (inverse
+    independent Poisson(1) weight from an LCG-derived uniform (inverse
     CDF as a 7-branch CASE), replicate mean = sum(w*x)/sum(w), CI =
     2.5/97.5 percentiles over {_N_BOOT} replicate means. Classic
     resample-with-replacement needs global coordinated sampling;

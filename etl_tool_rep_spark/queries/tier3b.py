@@ -108,10 +108,13 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
     df = (toks.groupBy("token")
               .agg(F.countDistinct("doc_id").cast("bigint").alias("df")))
-    n_docs = load(spark, sf_dir, "documents").count()
+    # in-plan scalar (broadcast 1-row crossJoin), not a .count() job
+    n = (load(spark, sf_dir, "documents")
+         .agg(F.count(F.lit(1)).cast("double").alias("n_docs")))
     scored = (tf.join(F.broadcast(df), "token")
+                .crossJoin(F.broadcast(n))
                 .withColumn("idf", F.round(
-                    F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+                    F.log(F.col("n_docs") / F.col("df")), 6))
                 .withColumn("score",
                             F.round(F.col("tf") * F.col("idf"), 6)))
     w = (Window.partitionBy("doc_id")
@@ -162,19 +165,25 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
     dlen = (toks.groupBy("doc_id")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("dl")))
-    n_docs = float(load(spark, sf_dir, "documents").count())
-    avgdl = float(dlen.agg(F.avg("dl").alias("a")).collect()[0]["a"])
+    # corpus stats stay in-plan: a 1-row (n_docs, avgdl) aggregate is
+    # broadcast-crossJoined instead of collect()ed, so the whole query
+    # is one job and the token scan is never recomputed for scalars
+    # (mirrors the oracle's CROSS JOIN stats)
+    stats = (load(spark, sf_dir, "documents")
+             .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+             .crossJoin(dlen.agg(F.avg("dl").alias("avgdl"))))
     tf = (toks.filter(F.col("token").isin(*QUERY_TERMS))
               .groupBy("doc_id", "token")
               .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
     df = (tf.groupBy("token")
             .agg(F.countDistinct("doc_id").cast("bigint").alias("df")))
-    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5)
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     part = (idf * F.col("tf") * (BM25_K1 + 1)
             / (F.col("tf") + BM25_K1 * (1 - BM25_B
-               + BM25_B * F.col("dl") / F.lit(avgdl))))
+               + BM25_B * F.col("dl") / F.col("avgdl"))))
     return (tf.join(F.broadcast(df), "token").join(dlen, "doc_id")
+              .crossJoin(F.broadcast(stats))
               .select("doc_id", part.alias("part"))
               .groupBy("doc_id")
               .agg(F.round(F.sum("part"), 6).alias("score"))

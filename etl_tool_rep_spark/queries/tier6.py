@@ -144,7 +144,8 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS vid
       FROM e a JOIN e b
         ON a.label = b.label AND b.vec_id < a.vec_id
-      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
+              >= 0.4
       GROUP BY a.vec_id)
     SELECT e.vec_id, CAST(e.label AS INT) AS label,
            (dup.vid IS NOT NULL) AS is_dup
@@ -184,7 +185,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.array([np.asarray(v, dtype=np.float64)
                       for v in pdf["embedding"]])
         nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
-        sim = (x @ x.T) / np.outer(nrm, nrm)
+        # round before the threshold compare: BLAS tile order and the
+        # oracle's serial list_dot_product accumulate in different
+        # orders, and a cosine a few ulp either side of 0.4 must not
+        # flip is_dup between engines (oracle rounds identically)
+        sim = np.round((x @ x.T) / np.outer(nrm, nrm), 9)
         # strictly-lower triangle: does any LOWER-id vector sit in
         # this vector's epsilon-ball?
         is_dup = (np.tril(sim >= 0.4, k=-1)).any(axis=1)

@@ -20,6 +20,42 @@ from .registry import query
 # 2-D skyline / Pareto frontier via sort + running max (no O(n^2))
 # ---------------------------------------------------------------------------
 
+def pareto_frontier(s: DataFrame) -> DataFrame:
+    """Sort-based 2-D skyline of (okey, odate, price) — keep a row
+    iff its price strictly exceeds the running max over all rows that
+    precede it in (odate ASC, price DESC, okey ASC) order. The okey
+    tiebreak makes exact (date, price) duplicates deterministic: the
+    lowest okey survives, in every engine.
+
+    The running max is a two-level prefix max, never a global window:
+    (1) range-partition by the total order (parallel sampled-boundary
+    shuffle); (2) local running max per partition — windows keyed by
+    partition id, all parallel; (3) per-partition max prices
+    (numPartitions rows) turn into exclusive prefix maxima via a
+    broadcast triangular self-join; (4) global cummax =
+    greatest(local cummax, earlier-partitions max). No
+    single-partition stage anywhere, any skyline size.
+    """
+    npart = s.sparkSession.sparkContext.defaultParallelism
+    order = [F.asc("odate"), F.desc("price"), F.asc("okey")]
+    t = (s.repartitionByRange(npart, *order)
+          .withColumn("_pid", F.spark_partition_id()))
+    wloc = (Window.partitionBy("_pid").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    t = t.withColumn("_lcm", F.max("price").over(wloc))
+    pm = t.groupBy("_pid").agg(F.max("price").alias("_pm"))
+    x, y = pm.alias("x"), pm.alias("y")
+    prev = (x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"),
+                   "left")
+             .groupBy(F.col("x._pid").alias("_pid"))
+             .agg(F.max("y._pm").alias("_prevmax")))
+    r = (t.join(F.broadcast(prev), "_pid")
+          .withColumn("cummax", F.greatest("_lcm", "_prevmax")))
+    return (r.filter(F.col("cummax").isNull()
+                     | (F.col("price") > F.col("cummax")))
+             .select("okey", "odate", "price"))
+
+
 @query(
     "skyline_pareto",
     oracle="""
@@ -27,7 +63,8 @@ from .registry import query
       SELECT o_orderkey AS okey, o_orderdate AS odate,
              o_totalprice AS price,
              max(o_totalprice) OVER (
-               ORDER BY o_orderdate ASC, o_totalprice DESC
+               ORDER BY o_orderdate ASC, o_totalprice DESC,
+                        o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS cummax
       FROM orders)
@@ -39,28 +76,15 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier (skyline) of orders: the set of orders not
     dominated by any other on (earlier-or-equal date, higher-or-equal
     price, one strict). Classic multi-criteria query (Borzsony/
-    Kossmann/Stocker, ICDE 2001).
-
-    Implementation is the sort-based skyline, not the naive O(n^2)
-    NOT-EXISTS self-join: sort by (date ASC, price DESC), keep a row
-    iff its price strictly exceeds the running max of all earlier
-    rows — same-date higher-price rows precede and correctly dominate.
-
-    Scale: one global sort (range-partitioned, spillable) + a window
-    running max; at 100 TB pre-filter per partition with the local
-    skyline first (dominated rows can never resurface globally), so
-    the global sort sees only each partition's frontier.
+    Kossmann/Stocker, ICDE 2001). Sort-based skyline, not the naive
+    O(n^2) NOT-EXISTS self-join; see `pareto_frontier` for the
+    parallel two-level running-max plan and the determinism contract.
     """
     o = load(spark, sf_dir, "orders")
-    w = (Window.orderBy(F.col("odate").asc(), F.col("price").desc())
-               .rowsBetween(Window.unboundedPreceding, -1))
     s = o.select(F.col("o_orderkey").alias("okey"),
                  F.col("o_orderdate").alias("odate"),
-                 F.col("o_totalprice").alias("price")) \
-         .withColumn("cummax", F.max("price").over(w))
-    return (s.filter(F.col("cummax").isNull()
-                     | (F.col("price") > F.col("cummax")))
-             .select("okey", "odate", "price"))
+                 F.col("o_totalprice").alias("price"))
+    return pareto_frontier(s)
 
 
 # ---------------------------------------------------------------------------

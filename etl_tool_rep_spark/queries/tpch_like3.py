@@ -297,9 +297,11 @@ def tpch_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # timestamp-preserving interval add (matches the oracle's
+    # + INTERVAL 30 DAY; date_add would truncate time-of-day)
     return (li.join(o, (li.l_orderkey == o.o_orderkey)
                     & (li.l_shipdate
-                       > F.date_add(o.o_orderdate, 30).cast("timestamp")))
+                       > o.o_orderdate + F.expr("INTERVAL 30 DAYS")))
               .groupBy(F.col("l_linestatus").alias("linestatus"))
               .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
                     .alias("high_line_count"),
@@ -439,9 +441,11 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    # timestamp-preserving interval add (matches the oracle's
+    # + INTERVAL 60 DAY; date_add would truncate time-of-day)
     late = (l1.join(o, (l1.l_orderkey == o.o_orderkey)
                     & (l1.l_shipdate
-                       > F.date_add(o.o_orderdate, 60).cast("timestamp")))
+                       > o.o_orderdate + F.expr("INTERVAL 60 DAYS")))
               .select("l_orderkey", "l_suppkey", "l_shipdate"))
     l2 = li.select(F.col("l_orderkey").alias("o2"),
                    F.col("l_suppkey").alias("s2"))

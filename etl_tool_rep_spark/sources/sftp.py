@@ -45,6 +45,7 @@ def sftp_extract(spark: SparkSession, host: str, port: int, username: str,
     (reference main.py:97-113 'extract' branch)."""
     from .readers import smart_load
     staging_dir = staging_dir or tempfile.mkdtemp(prefix="sftp_stage_")
+    os.makedirs(staging_dir, exist_ok=True)
     local = os.path.join(staging_dir, os.path.basename(remote_path))
     ssh = _client(host, port, username, password)
     try:

@@ -1,0 +1,183 @@
+"""Mock-driven happy-path tests for the optionally-gated connectors:
+SFTP extract/load (paramiko), Excel reads (openpyxl), and the PIL
+image decode/resize stubs. The real libraries are absent in this
+container, so each test injects a minimal fake at the gate point and
+drives the connector's own code end-to-end; companion tests pin the
+clean NotImplementedError when the gate is closed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+from etl_tool_rep_spark.operators import multimodal
+from etl_tool_rep_spark.sources import readers, sftp
+
+
+# ---------------------------------------------------------------------------
+# SFTP (reference main.py:97-122) via a fake paramiko
+# ---------------------------------------------------------------------------
+
+class _FakeSFTP:
+    """Records puts, serves gets from the local filesystem."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def get(self, remote_path, local_path):
+        with open(remote_path, "rb") as src, \
+                open(local_path, "wb") as dst:
+            dst.write(src.read())
+        self.log.append(("get", remote_path, local_path))
+
+    def put(self, local_path, remote_path):
+        with open(local_path, "rb") as src, \
+                open(remote_path, "wb") as dst:
+            dst.write(src.read())
+        self.log.append(("put", local_path, remote_path))
+
+    def close(self):
+        pass
+
+
+class _FakeSSH:
+    calls: list = []
+
+    def set_missing_host_key_policy(self, policy):
+        pass
+
+    def connect(self, host, port, username, password):
+        _FakeSSH.calls.append((host, port, username))
+
+    def open_sftp(self):
+        return _FakeSFTP(_FakeSSH.calls)
+
+    def close(self):
+        pass
+
+
+@pytest.fixture
+def fake_paramiko(monkeypatch):
+    mod = types.SimpleNamespace(
+        SSHClient=_FakeSSH,
+        AutoAddPolicy=lambda: None,
+    )
+    monkeypatch.setattr(sftp, "paramiko", mod, raising=False)
+    monkeypatch.setattr(sftp, "_HAS_PARAMIKO", True)
+    _FakeSSH.calls = []
+    return mod
+
+
+def test_sftp_extract_reads_remote_csv(spark, tmp_path, fake_paramiko):
+    remote = tmp_path / "remote.csv"
+    remote.write_text("id,name\n1,alpha\n2,beta\n")
+    df = sftp.sftp_extract(spark, "host", 22, "user", "pw", str(remote),
+                           staging_dir=str(tmp_path / "stage"))
+    rows = {(r["id"], r["name"]) for r in df.collect()}
+    assert rows == {(1, "alpha"), (2, "beta")}
+    assert ("host", 22, "user") in _FakeSSH.calls
+
+
+def test_sftp_load_round_trip(spark, tmp_path, fake_paramiko):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    dest = tmp_path / "out.csv"
+    sftp.sftp_load(df, "host", 22, "user", "pw", str(dest))
+    back = pd.read_csv(dest).sort_values("id")
+    assert list(back["id"]) == [1, 2]
+    assert list(back["v"]) == ["x", "y"]
+    # staging dir is cleaned up after the put
+    assert any(op == "put" for op, *_ in _FakeSSH.calls if op == "put")
+
+
+def test_sftp_gated_without_paramiko(spark):
+    if sftp._HAS_PARAMIKO:  # pragma: no cover - env-dependent
+        pytest.skip("paramiko installed here")
+    with pytest.raises(NotImplementedError, match="paramiko"):
+        sftp.sftp_extract(spark, "h", 22, "u", "p", "/nope.csv")
+
+
+# ---------------------------------------------------------------------------
+# Excel (reference main.py:80-81) via a fake openpyxl + pandas stub
+# ---------------------------------------------------------------------------
+
+def test_read_excel_happy_path(spark, monkeypatch, tmp_path):
+    monkeypatch.setitem(sys.modules, "openpyxl", types.ModuleType("openpyxl"))
+    fake = pd.DataFrame({"sku": ["a1", "b2"], "qty": [3, 4]})
+    seen = {}
+
+    def fake_read_excel(path, *a, **kw):
+        seen["path"] = path
+        return fake
+
+    monkeypatch.setattr(pd, "read_excel", fake_read_excel)
+    xlsx = tmp_path / "book.xlsx"
+    xlsx.write_bytes(b"not really xlsx")
+    df = readers.smart_load(spark, str(xlsx))  # exercises dispatch too
+    assert seen["path"] == str(xlsx)
+    assert {(r["sku"], r["qty"]) for r in df.collect()} \
+        == {("a1", 3), ("b2", 4)}
+
+
+def test_read_excel_gated_without_openpyxl(spark, monkeypatch):
+    monkeypatch.setitem(sys.modules, "openpyxl", None)  # forces ImportError
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        readers.read_excel(spark, "/nope.xlsx")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode/resize (PIL gate)
+# ---------------------------------------------------------------------------
+
+class _FakeImg:
+    format = "PNG"
+
+    def __init__(self, data):
+        self.data = data
+
+    def resize(self, size):
+        self.size = size
+        return self
+
+    def save(self, buf, format=None):
+        buf.write(b"resized:" + self.data)
+
+
+@pytest.fixture
+def fake_pil(monkeypatch):
+    image_mod = types.SimpleNamespace(
+        open=lambda fh: _FakeImg(fh.read()))
+    monkeypatch.setattr(multimodal, "Image", image_mod, raising=False)
+    monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+    return image_mod
+
+
+def test_decode_and_resize_with_fake_pil(fake_pil):
+    img = multimodal.decode_image(b"pixels")
+    assert img.data == b"pixels"
+    out = multimodal.resize_image(b"pixels", 4, 4)
+    assert out == b"resized:pixels"
+
+
+def test_multimodal_gated_without_pil():
+    if multimodal._HAS_PIL:  # pragma: no cover - env-dependent
+        pytest.skip("PIL installed here")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_image(b"x")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.resize_image(b"x", 2, 2)
+
+
+def test_sample_frames_always_stubbed():
+    with pytest.raises(NotImplementedError, match="decoder"):
+        multimodal.sample_frames(b"video-bytes")
+
+
+def test_excel_dispatch_registered():
+    assert readers._DISPATCH[".xlsx"] is readers.read_excel
+    assert readers._DISPATCH[".xls"] is readers.read_excel
+    assert os.path.splitext("a.XLSX")[1].lower() == ".xlsx"

@@ -66,3 +66,36 @@ def test_quality_classifier_splits(spark, sf_dir):
     kept = sum(r["keep"] for r in rows)
     assert 0 < kept < len(rows)
     assert all(0.0 <= r["prob"] <= 1.0 for r in rows)
+
+
+def test_semantic_dedup_borderline_cosine_stable(spark):
+    """Cosines within a few ulp of the 0.4 threshold must not flip
+    is_dup with summation order: the kernel rounds to 9dp before the
+    compare (as does the oracle SQL). Vectors are built so the exact
+    cosine is 0.4 up to float representation."""
+    import numpy as np
+
+    from etl_tool_rep_spark.queries.tier6 import semantic_dedup  # noqa: F401
+
+    # pair with cosine exactly 0.4: a=(1,0), b=(0.4, sqrt(1-0.16))
+    b2 = float(np.sqrt(1 - 0.16))
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.4, b2], 0),           # cos(a, b) == 0.4 exactly-ish
+        (3, [0.0, 1.0], 1),          # different label: never compared
+    ]
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    np_cos = np.dot(pdf.embedding[0], pdf.embedding[1])
+    assert abs(np_cos - 0.4) < 1e-12
+
+    sdf = spark.createDataFrame(pdf)
+    # drive the same applyInPandas kernel the query uses, via a temp
+    # parquet dir shaped like the embeddings table
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        sdf.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        out = {r["vec_id"]: r["is_dup"]
+               for r in QUERIES["semantic_dedup"](spark, td).collect()}
+    # rounded cosine 0.4 >= 0.4 -> vec 2 is a dup of vec 1
+    assert out == {1: False, 2: True, 3: False}

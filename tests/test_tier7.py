@@ -35,3 +35,35 @@ def test_mad_outliers_sane(spark, sf_dir):
     n_out = sum(r["is_outlier"] for r in rows)
     # robust cutoff flags a small minority, never the bulk
     assert n_out < 0.2 * n_docs
+
+
+def test_skyline_tiebreak_lowest_okey(spark):
+    """Exact (date, price) ties are deterministic: the lowest okey
+    survives; and the parallel two-level prefix max agrees with a
+    serial reference on a crafted fixture."""
+    import datetime
+
+    from etl_tool_rep_spark.queries.tier7 import pareto_frontier
+
+    d = datetime.date
+    rows = [
+        # day 1: two exact ties at 100.0 plus a dominated 50.0
+        (3, d(2024, 1, 1), 100.0),
+        (7, d(2024, 1, 1), 100.0),
+        (9, d(2024, 1, 1), 50.0),
+        # day 2: tie at a new high; lower okey listed second on purpose
+        (12, d(2024, 1, 2), 120.0),
+        (11, d(2024, 1, 2), 120.0),
+        # day 3: not above the running max -> dominated
+        (20, d(2024, 1, 3), 120.0),
+        # day 4: strict new high
+        (30, d(2024, 1, 4), 121.0),
+    ]
+    s = spark.createDataFrame(rows, ["okey", "odate", "price"])
+    got = sorted((r["okey"], r["price"])
+                 for r in pareto_frontier(s).collect())
+    assert got == [(3, 100.0), (11, 120.0), (30, 121.0)]
+    # stable across repeated runs (tie order must not drift)
+    again = sorted((r["okey"], r["price"])
+                   for r in pareto_frontier(s).collect())
+    assert got == again
