@@ -37,6 +37,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import let_bind
+
 # Mersenne prime 2^31-1: permutation arithmetic a*h+b stays < 2^62,
 # safely inside BIGINT.
 _P = (1 << 31) - 1
@@ -68,17 +70,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram set as an array column (JVM-side)."""
-    toks = F.split(text_col, r"\s+")
-    upper = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    # try_element_at: docs shorter than n words fall back to one
-    # truncated shingle (concat_ws skips the NULLs) instead of
-    # throwing under ANSI mode (Spark 4 default).
-    grams = F.transform(
-        F.sequence(F.lit(1), upper),
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(toks, i + j) for j in range(n)]))
-    return F.array_distinct(grams)
+    """Distinct word n-gram set as an array column (JVM-side).
+    The token array is let-bound so the split runs once per row,
+    not once per indexed reference per gram."""
+    def body(toks):
+        upper = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        # try_element_at: docs shorter than n words fall back to one
+        # truncated shingle (concat_ws skips the NULLs) instead of
+        # throwing under ANSI mode (Spark 4 default).
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)])))
+    return let_bind(F.split(text_col, r"\s+"), body)
 
 
 def _shingle_hashes(shingles: Column) -> Column:
@@ -97,15 +101,16 @@ def word_shingle_hashes(text_col: Column, n: int = 3) -> Column:
     inlines the shingle expression into every consumer — the string
     array was being recomputed up to 3x (as _sh, inside _shh, and in
     the Python-input projection). One fused pass measured ~2.5x faster
-    end-to-end on the minhash pipeline at sf0.1."""
-    toks = F.split(text_col, r"\s+")
-    upper = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), upper),
-        lambda i: F.pmod(F.xxhash64(F.concat_ws(
-            " ", *[F.try_element_at(toks, i + j) for j in range(n)])),
-            F.lit(_P)))
-    return F.array_distinct(grams)
+    end-to-end on the minhash pipeline at sf0.1; the token array is
+    additionally let-bound (see let_bind) so the split runs once per row."""
+    def body(toks):
+        upper = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.pmod(F.xxhash64(F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)])),
+                F.lit(_P))))
+    return let_bind(F.split(text_col, r"\s+"), body)
 
 
 def minhash_signature(shingle_hash_col: Column,
@@ -218,15 +223,16 @@ aggregate(
 """
 
 _SIMHASH_ASSEMBLE_SQL = """
-cast(
-  aggregate(
-    transform(sequence(0, 62),
-              j -> if(element_at({counts}, j + 1) > 0,
-                      shiftleft(cast(1 as bigint), j),
-                      cast(0 as bigint))),
-    cast(0 as bigint), (acc, v) -> acc + v)
-  + if(element_at({counts}, 64) > 0, -9223372036854775808, 0)
-as bigint)
+element_at(transform(array({counts}), c ->
+  cast(
+    aggregate(
+      transform(sequence(0, 62),
+                j -> if(element_at(c, j + 1) > 0,
+                        shiftleft(cast(1 as bigint), j),
+                        cast(0 as bigint))),
+      cast(0 as bigint), (acc, v) -> acc + v)
+    + if(element_at(c, 64) > 0, -9223372036854775808, 0)
+  as bigint)), 1)
 """
 
 
@@ -247,9 +253,15 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash: candidates share one of four 16-bit
     bands (pigeonhole: hamming<=3 over 4 bands guarantees an equal
     band), verified with exact Hamming distance."""
+    # assemble references counts through the let-bound lambda var (see
+    # _SIMHASH_ASSEMBLE_SQL / let_bind): without it CollapseProject
+    # inlines the whole counts aggregate into all 64 bit probes.
+    # repartition: the signature pass is compute-dense, spread it.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     base = (df.select(F.col(id_col).alias("_id"),
                       F.col(text_col).alias("_txt"))
               .filter(F.col("_txt").isNotNull())
+              .repartition(n_part, "_id")
               .withColumn("_cnt", F.expr(
                   _SIMHASH_COUNTS_SQL.format(text="`_txt`")))
               .withColumn("_sh", F.expr(
@@ -296,6 +308,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      F.explode(word_shingles(F.col(text_col), n))
                       .alias("_g"))
              .distinct())
+    # materialize the exploded-distinct gram set once: it feeds three
+    # branches (both join sides + per-doc counts) and the shingle
+    # explode + distinct shuffle would otherwise run three times
+    # (executor-local checkpoint; prefer persist/reliable checkpoint
+    # on a real cluster)
+    tri = tri.localCheckpoint(eager=False)
     counts = tri.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = tri.alias("a"), tri.alias("b")
     inter = (a.join(b, (F.col("a._g") == F.col("b._g"))

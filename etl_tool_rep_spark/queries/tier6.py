@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exprs import let_bind
 from .registry import query
 
 
@@ -66,12 +67,12 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bucketed storage both exchanges collapse to local sorts.
     """
     d = load(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    n_pass = F.ceil(F.size(ws) / F.lit(10.0)).cast("int")
-    passages = F.transform(
-        F.sequence(F.lit(0), n_pass - 1),
+    # let-bound so the split evaluates once per row, not once per
+    # passage slice (CollapseProject would inline it into the lambda)
+    passages = let_bind(F.split(F.col("text"), " "), lambda ws: F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(ws) / F.lit(10.0)).cast("int") - 1),
         lambda i: F.array_join(F.slice(ws, i * F.lit(10) + 1, F.lit(10)),
-                               " "))
+                               " ")))
     p = d.select("doc_id", F.posexplode(passages).alias("pos", "passage"))
     w = Window.partitionBy("passage").orderBy("doc_id", "pos")
     k = p.withColumn("rn", F.row_number().over(w))
