@@ -43,18 +43,32 @@ def _space_saving_partition(col: str, k: int):
     return run
 
 
-def heavy_hitters(df: DataFrame, col: str, min_count: int,
-                  k: int = 1000) -> DataFrame:
-    """Exact counts of items whose frequency >= ``min_count``,
-    via Space-Saving candidates + exact recount. ``min_count`` must
-    be >= N/k for the guarantee to hold (caller responsibility)."""
+def heavy_hitters(df: DataFrame, col: str, min_count: int | None = None,
+                  k: int = 1000,
+                  min_share_denom: int | None = None) -> DataFrame:
+    """Exact counts of items whose frequency >= the threshold, via
+    Space-Saving candidates + exact recount.
+
+    Threshold forms: ``min_count`` (absolute, must be >= N/k for the
+    Space-Saving guarantee — caller responsibility) or
+    ``min_share_denom=d`` for the relative form ``cnt * d >= N``
+    (i.e. share >= 1/d). The relative form keeps N IN-PLAN as a
+    broadcast 1-row aggregate instead of a driver-side .count()
+    pre-job — one Spark job total, exact integer arithmetic."""
     cands = (df.select(col).mapInPandas(
                  _space_saving_partition(col, k), f"{col} string")
                .distinct())
-    return (df.join(F.broadcast(cands), col, "left_semi")
-              .groupBy(col)
-              .agg(F.count(F.lit(1)).alias("cnt"))
-              .filter(F.col("cnt") >= min_count))
+    counted = (df.join(F.broadcast(cands), col, "left_semi")
+                 .groupBy(col)
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+    if min_count is not None:
+        return counted.filter(F.col("cnt") >= min_count)
+    if min_share_denom is None:
+        raise ValueError("need min_count or min_share_denom")
+    tot = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (counted.crossJoin(F.broadcast(tot))
+            .filter(F.col("cnt") * min_share_denom >= F.col("_n"))
+            .drop("_n"))
 
 
 # ---------------------------------------------------------------------------

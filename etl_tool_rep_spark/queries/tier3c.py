@@ -32,10 +32,15 @@ _W = "split(text, '\\\\s+')"
 
 
 def _grams_expr(n: int) -> str:
-    return (f"CASE WHEN size({_W}) >= {n} THEN "
-            f"transform(sequence(1, size({_W}) - {n - 1}), "
-            f"i -> array_join(slice({_W}, i, {n}), ' ')) "
+    # the token array is let-bound as lambda var `w` (see
+    # functions/exprs.let_bind): referencing the split expression
+    # directly would re-run the regex split per gram via
+    # CollapseProject inlining
+    body = (f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(1, size(w) - {n - 1}), "
+            f"i -> array_join(slice(w, i, {n}), ' ')) "
             f"ELSE array() END")
+    return f"element_at(transform(array({_W}), w -> {body}), 1)"
 
 
 # DuckDB twin: list ranges are 1-based inclusive, range() end-exclusive

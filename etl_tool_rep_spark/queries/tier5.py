@@ -224,7 +224,7 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split("text", r"\s+")).alias("word"))
-    n = words.count()
-    # cnt >= 0.5% of n, in exact integer arithmetic: 200*cnt >= n
-    thresh = (n + 199) // 200
-    return heavy_hitters(words, "word", min_count=thresh, k=1000)
+    # cnt >= 0.5% of n, exact integer arithmetic (200*cnt >= n); the
+    # total stays in-plan as a broadcast 1-row aggregate — no driver
+    # .count() pre-job
+    return heavy_hitters(words, "word", k=1000, min_share_denom=200)

@@ -150,7 +150,8 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d JOIN med ON d.lang = med.lang
       GROUP BY d.lang, med.med)
     SELECT d.doc_id, d.lang,
-           round(0.6745 * (d.n_chars - mad.med) / NULLIF(mad.mad, 0), 6)
+           floor(0.6745 * (d.n_chars - mad.med) / NULLIF(mad.mad, 0)
+                 * 1e6 + 0.5) / 1e6
              AS robust_z,
            COALESCE(abs(0.6745 * (d.n_chars - mad.med)
                         / NULLIF(mad.mad, 0)) > 3.5, FALSE) AS is_outlier
@@ -179,8 +180,13 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit(0.5)).alias("mad")))
     z = (F.lit(0.6745) * (F.col("n_chars") - F.col("med"))
          / F.nullif(F.col("mad"), F.lit(0)))
+    # floor(x*1e6 + 0.5)/1e6 in BOTH engines: decimal-string
+    # round() ties (x.xxxxxx5) broke between Spark's HALF_UP and
+    # DuckDB's binary rounding at sf0.1; identical IEEE arithmetic
+    # cannot diverge
+    z6 = F.floor(z * 1e6 + F.lit(0.5)) / 1e6
     return (d.join(F.broadcast(mad), "lang")
              .select("doc_id", "lang",
-                     F.round(z, 6).alias("robust_z"),
+                     z6.alias("robust_z"),
                      F.coalesce(F.abs(z) > 3.5, F.lit(False))
                       .alias("is_outlier")))
