@@ -402,33 +402,34 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each unordered pair counted once), then scored against the
     independence baseline. The classic association-rule seed.
 
-    Scale: the self-join fans out quadratically in basket size, so
-    baskets above ``max_basket_size`` are dropped before the join
-    (a-priori pruning: one co-partitioned count + semi-join on the
-    order key, no extra wide shuffle). One pathological 10k-item
-    basket would otherwise fan out 10^8 pairs on a single key — a
-    skew bomb at 100 TB. TPC-H baskets hold <= 7 items, so the cap
-    never fires on the test fixtures and the oracle (uncapped) still
-    matches; on a real corpus tune the cap or add a `heavy_hitters`
-    frequent-part pre-pass.
+    Scale: baskets materialize ONCE as per-order part sets (a single
+    map-side-combinable collect_set shuffle on the order key — also
+    the distinct), pairs explode JVM-side from each set, and baskets
+    above ``max_basket_size`` are dropped by a free size filter
+    before the quadratic expansion. One pathological 10k-item basket
+    would otherwise fan out 10^8 pairs on a single key — a skew bomb
+    at 100 TB. TPC-H baskets hold <= 7 items, so the cap never fires
+    on the test fixtures and the oracle (uncapped self-join form)
+    still matches; on a real corpus tune the cap or add a
+    `heavy_hitters` frequent-part pre-pass.
     """
     max_basket_size = 100
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    small = (items.groupBy("l_orderkey")
-             .agg(F.count(F.lit(1)).alias("_bs"))
-             .filter(F.col("_bs") <= max_basket_size)
-             .select("l_orderkey"))
-    items = items.join(small, "l_orderkey", "left_semi")
-    n = items.select(F.countDistinct("l_orderkey").alias("n"))
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.collect_set("l_partkey").alias("_s"))
+               .filter(F.size("_s") <= max_basket_size))
+    items = baskets.select(F.explode("_s").alias("l_partkey"))
+    n = baskets.agg(F.count(F.lit(1)).alias("n"))
     part_cnt = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_p"))
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .groupBy(F.col("a.l_partkey").alias("pa"),
-                      F.col("b.l_partkey").alias("pb"))
+    pairs_expr = F.expr("""
+        flatten(transform(_s, x ->
+            filter(transform(_s, y ->
+                       if(x < y, struct(x AS pa, y AS pb), null)),
+                   p -> p IS NOT NULL)))""")
+    pairs = (baskets.select(F.explode(pairs_expr).alias("_p"))
+             .groupBy(F.col("_p.pa").alias("pa"),
+                      F.col("_p.pb").alias("pb"))
              .agg(F.count(F.lit(1)).alias("n_ab"))
              .filter(F.col("n_ab") >= 2))
     ca = part_cnt.select(F.col("l_partkey").alias("pa"),

@@ -131,3 +131,30 @@ def test_linear_interpolate_hand_series(spark, sf_dir):
         for k in range(i + 1, j):
             assert lo <= grp[k]["est"] <= hi, grp[k]
     assert by_key  # sanity
+
+
+def test_equidepth_ntile_arithmetic_small_n(spark, tmp_path):
+    """The two-level prefix-sum rank + NTILE bucket arithmetic must
+    reproduce ntile() exactly, including the n<10 degenerate path
+    (base=0: each row its own bucket) and the n%10 fat-bucket split."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from etl_tool_rep_spark.queries.registry import QUERIES
+
+    for n in (7, 23, 40):
+        rows = [(float(1000 - i), i) for i in range(n)]
+        df = spark.createDataFrame(rows, ["o_totalprice", "o_orderkey"])
+        sf = str(tmp_path / f"sf_{n}")
+        df.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+        got = {r["bin"]: (r["n"], r["lo"], r["hi"])
+               for r in QUERIES["equidepth_bins"](spark, sf).collect()}
+        w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        exp_rows = (df.select("o_totalprice",
+                              F.ntile(10).over(w).alias("bin"))
+                    .groupBy("bin")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.min("o_totalprice").alias("lo"),
+                         F.max("o_totalprice").alias("hi")).collect())
+        exp = {r["bin"]: (r["n"], r["lo"], r["hi"]) for r in exp_rows}
+        assert got == exp, (n, got, exp)

@@ -28,7 +28,19 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "theta_join_range", "hll_sketch_merge",
                    "validate_constraints",
                    # tiny bin grid: distinct event_types x range(10)
-                   "psi_drift"}
+                   "psi_drift",
+                   # scalar attach: broadcast 1-row aggregate crossJoin
+                   # (in-plan corpus stats / totals / prefix offsets —
+                   # the round-3 replacement for driver-side collects;
+                   # the "nested loop" side is one row by construction)
+                   "bm25_search", "tfidf_topk", "heavy_hitters",
+                   "equidepth_bins", "skyline_pareto", "vocab_growth",
+                   "market_basket", "triangle_count", "mixture_weights",
+                   "temperature_resample", "unigram_logprob",
+                   "tpch_q11_important_stock", "tpch_q22_idle_customers",
+                   # two-stage rerank: per-query candidate lists are
+                   # broadcast-sized by construction
+                   "mmr_rerank"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
