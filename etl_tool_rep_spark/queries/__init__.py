@@ -27,6 +27,7 @@ try:
     from . import tier10  # noqa: F401,E402
     from . import tier11  # noqa: F401,E402
     from . import tier12  # noqa: F401,E402
+    from . import tier13  # noqa: F401,E402
 except ImportError:
     pass
 try:
