@@ -106,30 +106,49 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
                  AS bal
       FROM customer GROUP BY c_nationkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(bal AS DECIMAL(24,4))) AS DOUBLE) AS t
+      FROM per_nation
     )
-    SELECT nk, bal,
-           round(bal / SUM(bal) OVER (), 6) AS share,
-           CAST(RANK() OVER (ORDER BY bal DESC, nk ASC) AS BIGINT)
+    SELECT x.nk, x.bal,
+           round(x.bal / tot.t, 6) AS share,
+           CAST(1 + (SELECT COUNT(*) FROM per_nation y
+                     WHERE y.bal > x.bal
+                        OR (y.bal = x.bal AND y.nk < x.nk)) AS BIGINT)
                AS bal_rank
-    FROM per_nation
+    FROM per_nation x, tot
     """,
 )
 def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ratio-to-report: each group's share of the global total via an
-    unpartitioned window over the AGGREGATED (tiny) relation — the
-    single-partition window touches |groups| rows, never the base
-    table, so the classic global-window bottleneck doesn't apply."""
+    """Ratio-to-report: each group's share of the global total, with
+    the total attached as a broadcast 1-row aggregate (summed in
+    DECIMAL so partial-aggregation order is exact) and the rank as a
+    broadcast triangular self-join count over the |groups|-row
+    relation — no unpartitioned window anywhere, so the plan emits
+    zero single-partition stages even though the aggregated relation
+    is tiny. (bal desc, nk asc) is a total order, so the
+    count-strictly-before rank equals RANK() exactly."""
     c = load(spark, sf_dir, "customer")
     per_nation = (c.groupBy(F.col("c_nationkey").alias("nk"))
                    .agg(F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
                          .cast("double").alias("bal")))
-    w_all = Window.partitionBy()
-    w_rank = Window.orderBy(F.col("bal").desc(), F.col("nk").asc())
-    return per_nation.select(
-        "nk", "bal",
-        F.round(F.col("bal") / F.sum("bal").over(w_all), 6)
-         .alias("share"),
-        F.rank().over(w_rank).cast("bigint").alias("bal_rank"))
+    tot = per_nation.agg(
+        F.sum(F.col("bal").cast("decimal(24,4)")).cast("double")
+         .alias("_t"))
+    x, y = per_nation.alias("x"), per_nation.alias("y")
+    before = (F.col("y.bal") > F.col("x.bal")) \
+        | ((F.col("y.bal") == F.col("x.bal"))
+           & (F.col("y.nk") < F.col("x.nk")))
+    ranked = (x.join(F.broadcast(y), before, "left")
+               .groupBy(F.col("x.nk").alias("nk"),
+                        F.col("x.bal").alias("bal"))
+               .agg((F.count(F.col("y.nk")) + 1).cast("bigint")
+                    .alias("bal_rank")))
+    return (ranked.crossJoin(F.broadcast(tot))
+            .select("nk", "bal",
+                    F.round(F.col("bal") / F.col("_t"), 6).alias("share"),
+                    "bal_rank"))
 
 
 @query(

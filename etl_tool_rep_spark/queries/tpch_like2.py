@@ -293,21 +293,22 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: supplier(s) with the maximum quarterly revenue.
 
-    Scale: revenue agg shuffles on suppkey once; the max is attached
-    as a rank-over-empty-partition on the *aggregated* (100-row)
-    side, so no second pass over lineitem and no driver collect.
+    Scale: revenue agg shuffles on suppkey once; the max attaches as
+    a broadcast 1-row aggregate crossJoin (max is order-independent,
+    ties all kept — identical to the oracle's scalar subquery), so
+    no second pass over lineitem, no driver collect, and no
+    single-partition window.
     """
-    from pyspark.sql import Window
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
     rev = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
              .agg(F.sum(_dec(_REV())).cast("double")
                    .alias("total_revenue")))
-    top = (rev.withColumn(
-               "_rk", F.rank().over(
-                   Window.orderBy(F.col("total_revenue").desc())))
-              .filter(F.col("_rk") == 1).drop("_rk"))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = (rev.crossJoin(F.broadcast(mx))
+              .filter(F.col("total_revenue") == F.col("_mx"))
+              .drop("_mx"))
     s = load(spark, sf_dir, "supplier").select(
         "s_suppkey", F.col("s_name").alias("sname"))
     return (top.join(F.broadcast(s), top.suppkey == s.s_suppkey)
