@@ -239,24 +239,32 @@ def theta_join_range(spark, sf_dir):
 )
 def groupby_agg(spark, sf_dir):
     """TPC-H Q1-shaped hash aggregate: sum/avg/min/max/count/
-    count-distinct with map-side partial aggregation."""
+    count-distinct with map-side partial aggregation.
+
+    The distinct count runs as its own grouped aggregate joined back
+    on the (4-group) keys: mixing it into the main agg triggers
+    Catalyst's Expand rewrite (every row duplicated through the
+    shuffle, null-padded — measured ~2x on this query)."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02")
-                      .cast("timestamp"))
-              .groupBy(F.col("l_returnflag").alias("returnflag"),
-                       F.col("l_linestatus").alias("linestatus"))
-              .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-                   F.sum(_dec("l_extendedprice")).cast("double")
-                    .alias("sum_base_price"),
-                   F.sum(_dec(disc_price)).cast("double")
-                    .alias("sum_disc_price"),
-                   (F.sum(_dec("l_quantity")).cast("double")
-                    / F.count(F.lit(1))).alias("avg_qty"),
-                   F.min("l_extendedprice").alias("min_price"),
-                   F.max("l_extendedprice").alias("max_price"),
-                   F.count(F.lit(1)).alias("count_order"),
-                   F.countDistinct("l_partkey").alias("n_parts")))
+    keys = [F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus")]
+    filtered = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02")
+                         .cast("timestamp"))
+    base = (filtered.groupBy(*keys)
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(_dec("l_extendedprice")).cast("double")
+                  .alias("sum_base_price"),
+                 F.sum(_dec(disc_price)).cast("double")
+                  .alias("sum_disc_price"),
+                 (F.sum(_dec("l_quantity")).cast("double")
+                  / F.count(F.lit(1))).alias("avg_qty"),
+                 F.min("l_extendedprice").alias("min_price"),
+                 F.max("l_extendedprice").alias("max_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+    nd = (filtered.groupBy(*keys)
+          .agg(F.countDistinct("l_partkey").alias("n_parts")))
+    return base.join(F.broadcast(nd), ["returnflag", "linestatus"])
 
 
 _ROLLUP_AGG_SPARK = lambda g: g.agg(  # noqa: E731
@@ -351,11 +359,21 @@ def approx_distinct(spark, sf_dir):
     estimate (rsd=0.02) landed within 5% of exact — deterministic for
     a fixed input, and the oracle states the booleans must be TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # three independent 1-row aggregates crossJoined instead of one
+    # agg mixing two distinct column sets + two HLLs: the combined
+    # form triggers Catalyst's Expand rewrite (every row replicated
+    # once per distinct set through the shuffle — measured 2.5x
+    # slower); split, each subtree partial-aggregates map-side with
+    # no row multiplication and the join sides are single rows
+    hll = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
-        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"))
+        F.approx_count_distinct("l_orderkey", 0.02)
+         .alias("approx_orders"))
+    ep = li.agg(F.countDistinct("l_partkey").cast("bigint")
+                .alias("exact_parts"))
+    eo = li.agg(F.countDistinct("l_orderkey").cast("bigint")
+                .alias("exact_orders"))
+    agg = hll.crossJoin(F.broadcast(ep)).crossJoin(F.broadcast(eo))
     pct = lambda a, e: (F.abs(F.col(a) - F.col(e))
                         <= 0.05 * F.col(e))  # noqa: E731
     return agg.select(
