@@ -38,6 +38,8 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "market_basket", "triangle_count", "mixture_weights",
                    "temperature_resample", "unigram_logprob",
                    "tpch_q11_important_stock", "tpch_q22_idle_customers",
+                   "tpch_q15_top_supplier", "ratio_to_report",
+                   "approx_distinct", "groupby_agg",
                    # two-stage rerank: per-query candidate lists are
                    # broadcast-sized by construction
                    "mmr_rerank"}
