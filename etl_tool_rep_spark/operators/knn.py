@@ -146,7 +146,11 @@ def lsh_near_dup_pairs(vectors: DataFrame, vec_id: str, vec_col: str,
                      F.col("_u").alias("_u1"))
     v2 = base.select(F.col("_id").alias("vec_id_2"),
                      F.col("_u").alias("_u2"))
-    cos = dot(F.col("_u1"), F.col("_u2"))
+    # round to 9 dp BEFORE the threshold compare: the unit-vector dot
+    # can drift a few ulp vs the cosine(v1,v2) formulation, and pairs
+    # sitting exactly on the threshold must not flip between runs /
+    # engines (same contract as semantic_dedup / embedding_near_dup).
+    cos = F.round(dot(F.col("_u1"), F.col("_u2")), 9)
     return (pairs.join(v1, "vec_id_1").join(v2, "vec_id_2")
                  .withColumn("_cos", cos)
                  .filter(F.col("_cos") >= threshold)
@@ -176,22 +180,33 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     1/|v| factor is constant across centroids and positive); and the
     nlist x dim constant ships as ONE parsed SQL literal instead of
     nlist*dim F.lit() Columns — thousands of py4j round-trips were
-    costing multiple seconds of driver time per call."""
+    costing multiple seconds of driver time per call. The centroid
+    IDS, by contrast, are an nlist-sized typed ``F.lit`` array (a few
+    hundred round-trips at most) so arbitrary id types (string/UUID
+    labels, ints) survive with their original Spark type instead of
+    being forced through SQL text as BIGINT."""
     import math
 
     rows = (centroids.select(centroid_id, centroid_vec)
             .orderBy(centroid_id).collect())
+    if not rows:
+        raise ValueError("ivf_assign: centroids DataFrame is empty — "
+                         "cannot assign vectors to zero cells")
     cids = [r[centroid_id] for r in rows]
     units = []
     for r in rows:
         cv = [float(x) for x in r[centroid_vec]]
+        if not all(math.isfinite(x) for x in cv):
+            raise ValueError(
+                "ivf_assign: centroid %r has non-finite components — "
+                "inf/nan cannot be shipped as SQL literals"
+                % (r[centroid_id],))
         nrm = math.sqrt(sum(x * x for x in cv)) or 1.0
         units.append([x / nrm for x in cv])
     cent_lit = F.expr("array(%s)" % ",".join(
         "array(%s)" % ",".join(repr(x) + "D" for x in cv)
         for cv in units))
-    id_lit = F.expr("array(%s)" % ",".join(str(int(c)) + "L"
-                                           for c in cids))
+    id_lit = F.array(*[F.lit(c) for c in cids])
     sims = F.transform(cent_lit, lambda c: dot(F.col(vec_col), c))
     pos = F.array_position(sims, F.array_max(sims)).cast("int")
     return (vectors

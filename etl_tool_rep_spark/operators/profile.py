@@ -56,13 +56,21 @@ def profile_table(df: DataFrame,
         # a map-side-combinable two-level distinct count, no Expand,
         # no null-padded wide rows. Complex/binary columns go
         # through to_json (faithful: escaping prevents value
-        # collisions that a bare string cast would allow).
+        # collisions that a bare string cast would allow). Floating
+        # columns normalize -0.0 -> 0.0 first: Spark's groupBy /
+        # countDistinct normalize floating zeros (they compare equal)
+        # but "-0.0" and "0.0" stringify differently, so the string
+        # form would over-count by one vs native countDistinct.
         def as_str(c):
             dt = df.schema[c].dataType
             if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
                 return F.to_json(F.struct(F.col(c)))
             if isinstance(dt, T.BinaryType):
                 return F.base64(F.col(c))
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                zero = F.lit(0.0).cast(dt)
+                return (F.when(F.col(c) == zero, zero)
+                        .otherwise(F.col(c)).cast("string"))
             return F.col(c).cast("string")
 
         stacked = df.select(F.explode(F.array(*[

@@ -405,19 +405,22 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: baskets materialize ONCE as per-order part sets (a single
     map-side-combinable collect_set shuffle on the order key — also
     the distinct), pairs explode JVM-side from each set, and baskets
-    above ``max_basket_size`` are dropped by a free size filter
-    before the quadratic expansion. One pathological 10k-item basket
+    above ``max_basket_size`` are excluded from the quadratic PAIR
+    EXPANSION only — they still count toward n and per-part counts,
+    so support/lift baselines keep the full-population semantics of
+    the uncapped oracle (only pairs *within* an oversized basket go
+    missing, and those are flagged by the cap, not silently shifted
+    into every other pair's score). One pathological 10k-item basket
     would otherwise fan out 10^8 pairs on a single key — a skew bomb
     at 100 TB. TPC-H baskets hold <= 7 items, so the cap never fires
     on the test fixtures and the oracle (uncapped self-join form)
-    still matches; on a real corpus tune the cap or add a
+    matches exactly; on a real corpus tune the cap or add a
     `heavy_hitters` frequent-part pre-pass.
     """
     max_basket_size = 100
     li = load(spark, sf_dir, "lineitem")
     baskets = (li.groupBy("l_orderkey")
-               .agg(F.collect_set("l_partkey").alias("_s"))
-               .filter(F.size("_s") <= max_basket_size))
+               .agg(F.collect_set("l_partkey").alias("_s")))
     items = baskets.select(F.explode("_s").alias("l_partkey"))
     n = baskets.agg(F.count(F.lit(1)).alias("n"))
     part_cnt = items.groupBy("l_partkey").agg(
@@ -427,7 +430,8 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             filter(transform(_s, y ->
                        if(x < y, struct(x AS pa, y AS pb), null)),
                    p -> p IS NOT NULL)))""")
-    pairs = (baskets.select(F.explode(pairs_expr).alias("_p"))
+    pairs = (baskets.filter(F.size("_s") <= max_basket_size)
+             .select(F.explode(pairs_expr).alias("_p"))
              .groupBy(F.col("_p.pa").alias("pa"),
                       F.col("_p.pb").alias("pb"))
              .agg(F.count(F.lit(1)).alias("n_ab"))

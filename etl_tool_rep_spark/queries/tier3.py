@@ -147,9 +147,9 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings)
     SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-           round({_COS}, 7) AS cos_sim
+           floor(({_COS}) * 1e7 + 0.5) / 1e7 AS cos_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round({_COS}, 9) >= 0.4
+    WHERE floor(({_COS}) * 1e9 + 0.5) / 1e9 >= 0.4
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +167,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     products per pair. No tile ever exceeds (2N/G)^2, and G scales
     with cluster width. Cosine is rounded to 9dp before the 0.4
     compare in BOTH engines (BLAS vs serial summation-order ulps must
-    not flip boundary pairs — same contract as semantic_dedup).
+    not flip boundary pairs — same contract as semantic_dedup), and
+    both roundings use the explicit floor(x*1eN+0.5)/1eN half-up
+    formula — np.round is half-to-EVEN while DuckDB round() is
+    half-away-from-zero, so exact decimal ties would diverge under
+    the builtin round of either engine.
     """
     import numpy as np
     import pandas as pd
@@ -193,20 +197,23 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
             nrm[nrm == 0] = np.inf  # zero vectors match nothing
             return part["vec_id"].to_numpy(), x / nrm[:, None]
+        def r9(x):
+            return np.floor(x * 1e9 + 0.5) / 1e9
         if i == j:
             ids, u = mat(pdf)
             sim = u @ u.T
-            r, c = np.nonzero(np.triu(np.round(sim, 9) >= 0.4, k=1))
+            r, c = np.nonzero(np.triu(r9(sim) >= 0.4, k=1))
             id1, id2 = ids[r], ids[c]
         else:
             ida, ua = mat(pdf[pdf["_g"] == i])
             idb, ub = mat(pdf[pdf["_g"] == j])
             sim = ua @ ub.T
-            r, c = np.nonzero(np.round(sim, 9) >= 0.4)
+            r, c = np.nonzero(r9(sim) >= 0.4)
             id1 = np.minimum(ida[r], idb[c])
             id2 = np.maximum(ida[r], idb[c])
-        return pd.DataFrame({"vec_id_1": id1, "vec_id_2": id2,
-                             "cos_sim": np.round(sim[r, c], 7)})
+        return pd.DataFrame({
+            "vec_id_1": id1, "vec_id_2": id2,
+            "cos_sim": np.floor(sim[r, c] * 1e7 + 0.5) / 1e7})
 
     return fan.groupBy("_i", "_j").applyInPandas(
         tile, "vec_id_1 long, vec_id_2 long, cos_sim double")

@@ -186,3 +186,47 @@ def test_multimodal_features_deterministic(docs):
     byid = {r[0]: r for r in r1}
     assert byid[1][1] == len(BASE.encode())        # n_bytes correct
     assert len(byid[1][2]) == 8                    # feature dim
+
+
+def test_ivf_assign_preserves_string_ids(spark):
+    """Regression (round-4 advice): centroid ids must keep their
+    original type — the r3 rewrite forced them through SQL text as
+    BIGINT and raised on string/UUID labels."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [("north", [1.0, 0.0]), ("east", [0.0, 1.0])],
+        "centroid_id string, centroid_vec array<double>")
+    out = ivf_assign(vecs, cents, "vec_id", "embedding")
+    assert out.schema["centroid_id"].dataType.simpleString() == "string"
+    got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    assert got == {1: "north", 2: "east"}
+
+
+def test_ivf_assign_guards(spark):
+    """Empty centroids and non-finite components fail loudly instead
+    of silently producing NULL assignments / invalid SQL."""
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])],
+                                 "vec_id long, embedding array<double>")
+    empty = spark.createDataFrame(
+        [], "centroid_id long, centroid_vec array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_assign(vecs, empty, "vec_id", "embedding")
+    bad = spark.createDataFrame(
+        [(1, [float("inf"), 0.0])],
+        "centroid_id long, centroid_vec array<double>")
+    with pytest.raises(ValueError, match="non-finite"):
+        ivf_assign(vecs, bad, "vec_id", "embedding")
+
+
+def test_profile_exact_distinct_negative_zero(spark):
+    """Regression (round-4 advice): the exact-distinct path stacks
+    values as strings; -0.0 and 0.0 stringify differently but compare
+    equal under native countDistinct — they must count as ONE."""
+    from etl_tool_rep_spark.operators.profile import profile_table
+    df = spark.createDataFrame(
+        [(0.0,), (-0.0,), (1.5,)], "x double")
+    prof = profile_table(df, approx_distinct=False)
+    row = prof.filter(F.col("column") == "x").collect()[0]
+    assert row["n_distinct"] == 2
