@@ -314,31 +314,109 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy matching: Levenshtein pairs within a blocking key (same
-    brand) — the record-linkage primitive; blocking bounds the pair
-    space exactly like the dedup operators.
+    brand) — the record-linkage primitive.
 
-    Two sound prunes keep the per-pair cost bounded (round 3, ~4x):
-    a length-difference filter in the join condition (|len(a)-len(b)|
-    is a lower bound on edit distance, evaluated before the DP), and
-    the thresholded levenshtein(s1, s2, 3) — banded O(n*k) DP with
-    early exit (-1 when the distance exceeds 3) instead of the full
-    O(n*m) table. Same result set as the oracle's unthresholded form.
+    Round 4: the blocked cross-product (quadratic in block size — the
+    engine's last O(block^2) plan, 10 s at sf0.1) is replaced by a
+    two-level decomposition that never builds a cross product:
+
+    1. Edit distance depends only on the name VALUES, so the DP runs
+       over DISTINCT names — vocabulary-sized, not corpus-sized.
+    2. Candidate name pairs come from a PassJoin-style pieces
+       equi-join (Li, Deng, Feng, "PassJoin: a partition-based method
+       for similarity joins", VLDB 2012): each name splits into
+       tau+1 = 4 even pieces; if edit(a, b) <= 3 then at least one
+       piece of the shorter survives all 3 edits and occurs verbatim
+       in the longer, start-shifted by at most tau. The shorter side
+       indexes its pieces, the longer side enumerates the O(tau^2)
+       substrings that could match one, and candidates fall out of an
+       equi-join on (shorter-length, piece-index, piece-text) — so
+       the name-pair step stays subquadratic even at web-corpus name
+       vocabularies. Survivors are verified with the thresholded
+       banded-DP ``levenshtein(a, b, 3)``.
+    3. The (name_a, name_b, dist) map — vocabulary^2-bounded but
+       verified-tiny — is broadcast and expanded back to part pairs
+       with plain equi-joins on name and (brand, name). The output
+       fan-out is the result set itself; nothing intermediate is
+       bigger than input + output.
+
+    Same result set as the oracle's unthresholded self-join form.
     """
+    TAU = 3
+    NP = TAU + 1
     p = load(spark, sf_dir, "part")
+    names = (p.select("p_name").distinct()
+              .select(F.col("p_name").alias("_n"),
+                      F.length("p_name").alias("_l")))
+
+    # even partition: piece i of an l-char string starts (1-based) at
+    # 1 + i*(l div NP) + min(i, l mod NP), length (l div NP) + [i < l mod NP]
+    pieces = names.select(
+        F.col("_n").alias("_ns"), F.col("_l").alias("_ls"),
+        F.explode(F.expr(f"""
+            transform(sequence(0, {TAU}), i -> struct(
+                i AS i,
+                substring(_n,
+                          1 + i * (_l div {NP}) + least(i, _l % {NP}),
+                          (_l div {NP}) + if(i < _l % {NP}, 1, 0)) AS txt))
+        """)).alias("_p"),
+    ).select("_ns", "_ls", F.col("_p.i").alias("_i"),
+             F.col("_p.txt").alias("_t"))
+
+    # probe: for each possible shorter-length l in [_l-tau, _l], piece
+    # index i, and start q in the +-tau shift window (clamped to valid
+    # substring positions — a genuine occurrence is always valid, so
+    # clamping never loses a candidate), the substring of this longer
+    # string that could equal piece i of an l-char partner
+    probes = names.select(
+        F.col("_n").alias("_nr"),
+        F.explode(F.expr(f"""
+            flatten(transform(sequence(greatest(1, _l - {TAU}), _l), l ->
+              flatten(transform(sequence(0, {TAU}), i ->
+                transform(
+                  sequence(
+                    greatest(1, 1 + i * (l div {NP}) + least(i, l % {NP})
+                             - {TAU}),
+                    least(_l - ((l div {NP}) + if(i < l % {NP}, 1, 0)) + 1,
+                          1 + i * (l div {NP}) + least(i, l % {NP})
+                          + {TAU})),
+                  q -> struct(l AS l, i AS i,
+                              substring(_n, q,
+                                        (l div {NP})
+                                        + if(i < l % {NP}, 1, 0)) AS txt))))))
+        """)).alias("_p"),
+    ).select("_nr", F.col("_p.l").alias("_pl"),
+             F.col("_p.i").alias("_pi"), F.col("_p.txt").alias("_pt"))
+
+    cand = (pieces.join(probes, (F.col("_ls") == F.col("_pl"))
+                        & (F.col("_i") == F.col("_pi"))
+                        & (F.col("_t") == F.col("_pt"))
+                        & (F.col("_ns") != F.col("_nr")))
+            .select(F.least("_ns", "_nr").alias("_na"),
+                    F.greatest("_ns", "_nr").alias("_nb"))
+            .distinct())
+    d = F.levenshtein("_na", "_nb", TAU)
+    verified = cand.select("_na", "_nb", d.alias("_d")) \
+                   .filter(F.col("_d") >= 0)
+    # directed map: both orientations plus exact-name self pairs
+    dmap = (verified
+            .union(verified.select(F.col("_nb"), F.col("_na"), "_d"))
+            .union(names.select(F.col("_n").alias("_na"),
+                                F.col("_n").alias("_nb"),
+                                F.lit(0).alias("_d"))))
+
     p1 = p.select(F.col("p_partkey").alias("pkey_1"),
                   F.col("p_name").alias("name_1"),
                   F.col("p_brand").alias("_b1"))
     p2 = p.select(F.col("p_partkey").alias("pkey_2"),
                   F.col("p_name").alias("name_2"),
                   F.col("p_brand").alias("_b2"))
-    dist = F.levenshtein("name_1", "name_2", 3)
-    return (p1.join(p2, (F.col("_b1") == F.col("_b2"))
-                    & (F.col("pkey_1") < F.col("pkey_2"))
-                    & (F.abs(F.length("name_1")
-                             - F.length("name_2")) <= 3))
-              .filter(dist >= 0)
+    return (p1.join(F.broadcast(dmap), F.col("name_1") == F.col("_na"))
+              .join(p2, (F.col("_b1") == F.col("_b2"))
+                    & (F.col("name_2") == F.col("_nb"))
+                    & (F.col("pkey_1") < F.col("pkey_2")))
               .select("pkey_1", "pkey_2", "name_1", "name_2",
-                      dist.cast("bigint").alias("dist")))
+                      F.col("_d").cast("bigint").alias("dist")))
 
 
 _PROFILE_COL = """
