@@ -105,19 +105,26 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 3 (was 32s as a two-hash-join wedge plan): this graph is
     DENSE — ~1000 supplier nodes, 450k edges (90% of complete) — so
     wedge materialization (sum of deg^2 ~ 2x10^8 rows at sf0.1) and
-    even per-edge adjacency-array joins (450k edges x 3.6 KB arrays
-    shipped twice) drown the query. Since the node set is a
-    DIMENSION (suppliers), node state collapses to a broadcast
-    bitset; the data-sized edge list stays distributed and the
-    intersection is a vectorized popcount per Arrow batch. Edge
-    construction is a per-order pair expansion on the orderkey
-    shuffle (baskets <= 7 suppliers), localCheckpointed once for the
-    three consuming branches (prefer persist/reliable checkpoint on
-    a multi-executor cluster).
-    """
-    import numpy as np
-    import pandas as pd
+    per-edge adjacency-ARRAY joins (450k edges x 3.6 KB arrays
+    shipped twice) drown the query.
 
+    Round 4 (driver bitset build removed): node state is still a
+    bitset when the node-id span is dimension-bounded, but it is now
+    built DISTRIBUTED — each adjacency row folds its neighbor list
+    into an array<bigint> bit row with JVM ``aggregate``/``transform``
+    bit math — and shipped to edges through ordinary broadcast hash
+    joins; the per-edge intersection is
+    ``sum(bit_count(sig_a & sig_b))``, whole-stage codegen end to
+    end. No ``.collect()`` of anything data-sized: the only driver
+    action is a 1-row min/max/count agg whose result picks the
+    strategy (bitset rows for small spans vs ``array_intersect``
+    adjacency join for large/sparse graphs — there the bit row, not
+    the edge list, is what stops fitting). Edge construction is a
+    per-order pair expansion on the orderkey shuffle (baskets <= 7
+    suppliers), localCheckpointed once for the three consuming
+    branches (prefer persist/reliable checkpoint on a multi-executor
+    cluster).
+    """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # per-order pair expansion (one shuffle on orderkey, map-side
     # combinable collect_set; baskets are <=7 suppliers) instead of a
@@ -133,40 +140,36 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("_p.a", "_p.b").distinct())
     edges = edges.localCheckpoint(eager=True)
 
-    # node state is dimension-bounded (suppliers), so the adjacency
-    # collapses to a node x node BITSET — ~125 KB here, broadcast like
-    # kmeans centroids / the bloom sketch. The data-sized edge list
-    # stays distributed; each Arrow batch popcounts
-    # rowbits(a) & rowbits(b) vectorized. (For billion-node sparse
-    # graphs flip to the adjacency-list intersection join instead —
-    # there the bitset row, not the edge list, is what stops fitting.)
-    adj_rows = (edges.groupBy("a")
-                .agg(F.collect_list("b").alias("nbrs")).collect())
-    node_ids = sorted({r["a"] for r in adj_rows}
-                      | {b for r in adj_rows for b in r["nbrs"]})
-    idx = {v: i for i, v in enumerate(node_ids)}
-    n = len(node_ids)
-    words = (n + 7) // 8
-    bits = np.zeros((n, words), dtype=np.uint8)
-    for r in adj_rows:
-        ia = idx[r["a"]]
-        for b in r["nbrs"]:
-            ib = idx[b]
-            bits[ia, ib >> 3] |= np.uint8(1 << (ib & 7))
-    bc = li.sparkSession.sparkContext.broadcast((bits, idx))
-    popcnt = np.array([bin(v).count("1") for v in range(256)],
-                      dtype=np.uint32)
+    # one metadata-sized action (like collecting kmeans centroids):
+    # the node-id span decides bitset vs adjacency-intersection plan
+    mm = edges.agg(
+        F.least(F.min("a"), F.min("b")).alias("mn"),
+        F.greatest(F.max("a"), F.max("b")).alias("mx")).first()
+    mn, span = int(mm["mn"]), int(mm["mx"]) - int(mm["mn"]) + 1
 
-    def count_batches(it):
-        m, ix = bc.value
-        for pdf in it:
-            ia = pdf["a"].map(ix).to_numpy()
-            ib = pdf["b"].map(ix).to_numpy()
-            both = m[ia] & m[ib]
-            yield pd.DataFrame(
-                {"k": popcnt[both].sum(axis=1).astype("int64")})
-
-    tri = (edges.mapInPandas(count_batches, "k long")
+    adj = edges.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    if span <= 1 << 16:  # bit row <= 8 KB, bitset table <= span^2/8
+        words = (span + 63) // 64
+        sig = F.expr(f"""
+            aggregate(nbrs, array_repeat(0L, {words}),
+                      (acc, nb) -> transform(acc, (w, wi) ->
+                          if(wi = CAST((nb - {mn}) div 64 AS INT),
+                             w | shiftleft(1L, CAST((nb - {mn}) % 64
+                                                    AS INT)),
+                             w)))""")
+        inter = F.expr("""
+            aggregate(zip_with(_sa, _sb, (x, y) -> bit_count(x & y)),
+                      0L, (acc, v) -> acc + v)""")
+    else:
+        sig = F.array_sort("nbrs")
+        inter = F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+    sa = adj.select(F.col("a"), sig.alias("_sa"))
+    sb = adj.select(F.col("a").alias("b"), sig.alias("_sb"))
+    # every edge's a has outgoing edges (inner join safe); b may not
+    tri = (edges.join(F.broadcast(sa), "a")
+           .join(F.broadcast(sb), "b", "left")
+           .select(F.when(F.col("_sb").isNull(), F.lit(0).cast("bigint"))
+                    .otherwise(inter).alias("k"))
            .agg(F.sum("k").cast("bigint").alias("n_triangles")))
     nodes = (edges.select(F.col("a").alias("n"))
              .unionAll(edges.select(F.col("b").alias("n")))
