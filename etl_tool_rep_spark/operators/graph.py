@@ -2,16 +2,24 @@
 
 Each iteration is two joins + one aggregation, all keyed by vertex —
 the canonical iterative-Spark shape (same discipline as
-``cluster.connected_components``): ``localCheckpoint`` per round to
-truncate lineage, convergence measured by max rank delta.
+``cluster.connected_components``): lineage truncated per round by a
+checkpoint, convergence measured by max rank delta.
+
+Durability: ``localCheckpoint`` keeps blocks on executors only — fine
+for local[*] and tests, but on a real cluster a lost executor kills
+the lineage with no recompute path. Pass ``checkpoint_dir`` to switch
+every round to a RELIABLE ``checkpoint()`` (HDFS/object-store backed)
+— the 100-TB setting. The flag changes durability only, not results.
 
 Dangling-node mass (vertices with no out-edges) is folded back
 uniformly each round, so ranks always sum to 1 — the original
 Brin/Page formulation. Because mass is conserved, the dangling mass
 equals 1 - sum(inflow), so it stays IN-PLAN as a broadcast 1-row
-aggregate instead of a per-round driver collect; the convergence
-delta is checked every ``check_every`` rounds. One Spark job per
-iteration (the checkpoint), not three.
+aggregate instead of a per-round driver collect. The convergence
+delta rides the SAME job as the rank refresh: the new frame carries
+the previous rank as a column, the round's checkpoint is lazy, and
+the max-|delta| aggregate is the action that materializes it — a
+probe round costs one job, not a checkpoint job plus a join job.
 """
 
 from __future__ import annotations
@@ -22,18 +30,32 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              damping: float = 0.85, max_iterations: int = 30,
-             tol: float = 1e-7) -> DataFrame:
+             tol: float = 1e-7,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """PageRank over a directed edge list; returns (id, rank) with
     ranks summing to 1. Undirected graphs: pass each edge in both
-    directions. Deterministic up to float summation order."""
+    directions. Deterministic up to float summation order.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``checkpoint()`` into that directory (cluster-durable);
+    when None, executor-local ``localCheckpoint`` (local mode)."""
     check_every = 5
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
-             .distinct().localCheckpoint()
-    verts = (e.select(F.col("s").alias("id"))
-              .unionByName(e.select(F.col("d").alias("id")))
-              .distinct().localCheckpoint())
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def cp(df: DataFrame, eager: bool = True) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    e = cp(edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .distinct())
+    verts = cp(e.select(F.col("s").alias("id"))
+               .unionByName(e.select(F.col("d").alias("id")))
+               .distinct())
     n = verts.count()
-    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = cp(e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
 
     for i in range(max_iterations):
@@ -51,19 +73,23 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         new_rank = (F.lit((1.0 - damping) / n)
                     + F.lit(damping / n) * (F.lit(1.0) - F.col("_tot"))
                     + damping * F.coalesce(F.col("inflow"), F.lit(0.0)))
-        new_ranks = (verts.join(inflow, "id", "left")
-                     .crossJoin(F.broadcast(tot))
-                     .select("id", new_rank.alias("rank"))
-                     .localCheckpoint())
+        # ranks (id + rank) is the vertex frame — joining inflow onto
+        # it both updates the rank and carries the previous value for
+        # the fused convergence check
+        stepped = (ranks.join(inflow, "id", "left")
+                   .crossJoin(F.broadcast(tot))
+                   .select("id", new_rank.alias("_new"),
+                           F.col("rank").alias("_prev"))
+                   .withColumnRenamed("_new", "rank"))
         if (i + 1) % check_every == 0 or i == max_iterations - 1:
-            prev = ranks
-            delta = (new_ranks.alias("n")
-                     .join(prev.alias("o"), "id")
-                     .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                     .first()[0])
-            ranks = new_ranks
+            # lazy checkpoint: the delta aggregate is the action that
+            # materializes this round — one job for update + probe
+            ck = cp(stepped, eager=False)
+            delta = ck.agg(
+                F.max(F.abs(F.col("rank") - F.col("_prev")))).first()[0]
+            ranks = ck.select("id", "rank")
             if delta is not None and delta < tol:
                 break
         else:
-            ranks = new_ranks
+            ranks = cp(stepped.select("id", "rank"))
     return ranks.select("id", "rank")

@@ -73,3 +73,19 @@ def test_heavy_hitters_exact_on_skew(spark):
                        .filter(F.col("cnt") >= thresh).collect()}
     assert got == want
     assert got["key_0"] == 1000 and got["key_1"] == 500
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir switches to cluster-durable checkpoint();
+    results must be identical to the localCheckpoint path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (4, 1)], ["src", "dst"])
+    local = {r["id"]: r["rank"]
+             for r in pagerank(edges, max_iterations=20).collect()}
+    durable = {r["id"]: r["rank"]
+               for r in pagerank(
+                   edges, max_iterations=20,
+                   checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    assert local == durable
+    import os
+    assert os.listdir(tmp_path / "ckpt")  # checkpoints actually wrote
