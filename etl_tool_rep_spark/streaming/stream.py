@@ -50,11 +50,15 @@ def windowed_agg_stream(events: DataFrame,
     watermark) is dropped — the knob that makes unbounded streams run
     in bounded memory."""
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    # decimal(18,4) sum cast back to double: the EXACT aggregation the
+    # batch twin (queries/tier2.tumbling_window_agg) uses, so
+    # stream-vs-batch parity is bit-identical, not approximate
     return (events
             .withWatermark("ts", watermark)
             .groupBy(win, "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("total_value"))
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("total_value"))
             .select(F.col("window.start").alias("window_start"),
                     F.col("window.end").alias("window_end"),
                     "event_type", "n_events", "total_value"))
@@ -63,12 +67,15 @@ def windowed_agg_stream(events: DataFrame,
 def sessionized_stream(events: DataFrame,
                        gap: str = "30 minutes",
                        watermark: str = "10 minutes") -> DataFrame:
-    """Streaming session windows (state merges as events arrive)."""
+    """Streaming session windows (state merges as events arrive).
+    Aggregation matches the batch twin (queries/tier2.
+    session_window_agg) exactly — same decimal-sum contract."""
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("total_value"))
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("total_value"))
             .select("user_id",
                     F.col("session_window.start").alias("session_start"),
                     F.col("session_window.end").alias("session_end"),

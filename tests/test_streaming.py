@@ -1,53 +1,72 @@
-"""Structured Streaming smoke tests: the streaming plans must produce
-the same results as their batch twins over a static file set
-(availableNow trigger + memory sink)."""
-
-import os
+"""Structured Streaming parity tests: the streaming plans must produce
+EXACTLY the batch answers over a static file set (availableNow trigger
++ memory sink). This is the streaming oracle — the batch queries are
+themselves DuckDB-verified, so frame-equality here chains the oracle
+through to the streaming forms."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from etl_tool_rep_spark.catalog import load
+from etl_tool_rep_spark.queries import QUERIES
 from etl_tool_rep_spark.streaming import (read_event_stream,
                                           run_available_now,
+                                          sessionized_stream,
                                           windowed_agg_stream)
 
 
+def _frames_equal(a, b):
+    """Exact multiset equality of two DataFrames (same columns)."""
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    ra = sorted(map(tuple, a.select(cols).collect()))
+    rb = sorted(map(tuple, b.select(cols).collect()))
+    assert ra == rb
+    assert len(ra) > 0
+
+
 @pytest.fixture(scope="module")
-def event_json_dir(spark, sf_dir, tmp_path_factory):
-    """Dump sf0.001 events to a json dir to act as the stream source."""
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Dump sf0.001 events to a parquet dir to act as the stream
+    source. Parquet, not json: json serializes timestamps at
+    millisecond precision, and session-window boundaries are raw
+    event times — a truncated microsecond breaks exact parity."""
     out = str(tmp_path_factory.mktemp("events_stream"))
     (load(spark, sf_dir, "events")
      .coalesce(2)
-     .write.mode("overwrite").json(out))
+     .write.mode("overwrite").parquet(out))
     return out
 
 
-def test_stream_matches_batch_tumbling(spark, sf_dir, event_json_dir):
-    stream = read_event_stream(spark, event_json_dir)
+def test_stream_matches_batch_tumbling(spark, sf_dir, event_stream_dir):
+    """Full-frame parity with the REGISTERED tumbling_window_agg —
+    every column (including the decimal-summed total_value), every
+    row, under a watermark."""
+    stream = read_event_stream(spark, event_stream_dir, fmt="parquet")
     assert stream.isStreaming
     got = run_available_now(
         windowed_agg_stream(stream, "1 hour", watermark="10 minutes"),
         "t_tumbling")
-
-    batch = (load(spark, sf_dir, "events")
-             .groupBy(F.window("ts", "1 hour"), "event_type")
-             .agg(F.count(F.lit(1)).alias("n_events"),
-                  F.sum("value").alias("total_value"))
-             .select(F.col("window.start").alias("window_start"),
-                     "event_type", "n_events"))
-
-    g = {(r["window_start"], r["event_type"]): r["n_events"]
-         for r in got.collect()}
-    b = {(r["window_start"], r["event_type"]): r["n_events"]
-         for r in batch.collect()}
-    assert g == b
-    assert len(g) > 0
+    batch = QUERIES["tumbling_window_agg"](spark, sf_dir)
+    _frames_equal(got, batch)
 
 
-def test_watermark_is_attached(spark, event_json_dir):
+def test_stream_matches_batch_session(spark, sf_dir, event_stream_dir):
+    """Full-frame parity with the registered session_window_agg (8h
+    gap) — streaming session-window state merging must reproduce the
+    batch gaps-and-islands answer exactly."""
+    stream = read_event_stream(spark, event_stream_dir, fmt="parquet")
+    got = run_available_now(
+        sessionized_stream(stream, gap="8 hours",
+                           watermark="10 minutes"),
+        "t_session")
+    batch = QUERIES["session_window_agg"](spark, sf_dir)
+    _frames_equal(got, batch)
+
+
+def test_watermark_is_attached(spark, event_stream_dir):
     stream = windowed_agg_stream(
-        read_event_stream(spark, event_json_dir), "1 hour",
+        read_event_stream(spark, event_stream_dir, fmt="parquet"), "1 hour",
         watermark="15 minutes")
     # eventTime watermark must appear in the analyzed plan
     assert "watermark" in stream._jdf.queryExecution().analyzed() \
