@@ -57,6 +57,73 @@ def sftp_extract(spark: SparkSession, host: str, port: int, username: str,
     return smart_load(spark, local)
 
 
+def sftp_extract_many(spark: SparkSession, host: str, port: int,
+                      username: str, password: str, remote_dir: str,
+                      pattern: str = "*.csv",
+                      staging_dir: str | None = None,
+                      max_workers: int = 8) -> DataFrame:
+    """Batch SFTP ingest: list ``remote_dir``, fetch every file
+    matching ``pattern`` into a local staging directory (concurrent
+    driver-side transfers — SFTP is the control-plane edge), then
+    read the WHOLE staging area with one distributed ``spark.read``
+    glob. The transfer is driver-bound by protocol; the parse/scan is
+    not — executors read the staged files in parallel, so a 10k-file
+    drop costs one listing + N gets + one distributed read, never a
+    per-file Spark job.
+
+    All staged files must share one extension (one reader dispatch);
+    mixed drops should be staged per-format. For truly bulk SFTP
+    sources, stage with a dedicated transfer fleet first and point
+    spark.read at the staging bucket — same second half, bigger first
+    half."""
+    import fnmatch
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .readers import read_csv, read_json, read_parquet, read_pipe
+    staging_dir = staging_dir or tempfile.mkdtemp(prefix="sftp_stage_")
+    os.makedirs(staging_dir, exist_ok=True)
+    ssh = _client(host, port, username, password)
+    try:
+        sftp = ssh.open_sftp()
+        names = [n for n in sftp.listdir(remote_dir)
+                 if fnmatch.fnmatch(n, pattern)]
+        if not names:
+            raise ValueError(
+                f"sftp_extract_many: nothing matches {pattern!r} in "
+                f"{remote_dir}")
+
+        def fetch(name: str) -> None:
+            # one SFTP channel per worker thread; paramiko channels
+            # are not thread-safe to share
+            c = _client(host, port, username, password)
+            try:
+                s = c.open_sftp()
+                s.get(os.path.join(remote_dir, name),
+                      os.path.join(staging_dir, name))
+                s.close()
+            finally:
+                c.close()
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(fetch, names))
+        sftp.close()
+    finally:
+        ssh.close()
+
+    exts = {os.path.splitext(n)[1].lower() for n in names}
+    if len(exts) != 1:
+        raise ValueError(
+            f"sftp_extract_many: mixed extensions {sorted(exts)} — "
+            "stage per-format")
+    ext = exts.pop()
+    dispatch = {".csv": read_csv, ".txt": read_pipe, ".json": read_json,
+                ".parquet": read_parquet}
+    if ext not in dispatch:
+        raise ValueError(f"sftp_extract_many: no distributed reader "
+                         f"for {ext!r}")
+    return dispatch[ext](spark, os.path.join(staging_dir, f"*{ext}"))
+
+
 def sftp_load(df: DataFrame, host: str, port: int, username: str,
               password: str, remote_path: str) -> None:
     """Serialize a (small) result to one CSV and push it (reference
