@@ -91,9 +91,12 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = binned.groupBy("event_type", "bin").agg(
         F.count(F.when(F.col("period") == "ref", 1)).alias("ref_n"),
         F.count(F.when(F.col("period") == "cur", 1)).alias("cur_n"))
+    # broadcast the fixed 10-row bin axis: documents the bound in the
+    # plan itself (explain_audit requires cross-join sides be scalar
+    # or explicitly broadcast) and avoids shuffling the type list
     grid = (binned.select("event_type").distinct()
-            .crossJoin(spark.range(10).select(
-                F.col("id").cast("bigint").alias("bin"))))
+            .crossJoin(F.broadcast(spark.range(10).select(
+                F.col("id").cast("bigint").alias("bin")))))
     w = Window.partitionBy("event_type")
     filled = (grid.join(cnts, ["event_type", "bin"], "left")
               .select("event_type", "bin",

@@ -46,6 +46,72 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
+# logical node wrappers that don't change a subtree's row bound
+_TRANSPARENT = {"Project", "Filter", "SubqueryAlias", "ResolvedHint",
+                "Repartition", "RepartitionByExpression", "Sort",
+                "WithCTE", "CTERelationRef", "Window"}
+
+
+def _unwrap(node):
+    while node.getClass().getSimpleName() in _TRANSPARENT \
+            and node.children().size() == 1:
+        node = node.children().apply(0)
+    return node
+
+
+def _is_scalar_side(node) -> bool:
+    """True when the subtree is <=1 row by construction: a
+    grouping-free Aggregate (scalar attach) or limit(1)."""
+    node = _unwrap(node)
+    cls = node.getClass().getSimpleName()
+    if cls == "Aggregate":
+        return node.groupingExpressions().isEmpty()
+    if cls in ("GlobalLimit", "LocalLimit"):
+        try:
+            return int(node.limitExpr().toString()) <= 1
+        except ValueError:
+            return False
+    if cls == "OneRowRelation":
+        return True
+    return False
+
+
+def _has_broadcast_hint(join, side: str) -> bool:
+    opt = join.hint().leftHint() if side == "left" \
+        else join.hint().rightHint()
+    return opt.isDefined() and "broadcast" in \
+        opt.get().toString().lower()
+
+
+def audit_cross_sides(df) -> list[str]:
+    """Walk the optimized logical plan; every cross/condition-less
+    join must have a side that is provably <=1 row (scalar attach) or
+    explicitly broadcast (bounded-by-construction rerank/knn query
+    sets). This runs on ALLOWLISTED queries too — the allowlist
+    permits the join shape, not an unbounded cartesian."""
+    bad = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        cross = (node.joinType().toString() == "Cross"
+                 or not node.condition().isDefined())
+        if not cross:
+            continue
+        ok = (_is_scalar_side(node.left())
+              or _is_scalar_side(node.right())
+              or _has_broadcast_hint(node, "left")
+              or _has_broadcast_hint(node, "right"))
+        if not ok:
+            sides = "{} x {}".format(
+                _unwrap(node.left()).getClass().getSimpleName(),
+                _unwrap(node.right()).getClass().getSimpleName())
+            bad.append(f"unbounded cross join: {sides}")
+    return bad
+
 
 def audit_plan(name: str, plan: str) -> list[str]:
     flags = []
@@ -81,14 +147,23 @@ def main() -> None:
     from etl_tool_rep_spark.queries import QUERIES
 
     names = sys.argv[1:] or sorted(QUERIES)
+    failures = 0
     for name in names:
         df = QUERIES[name](spark, SF_DIR)
         plan = formatted_plan(df)
         flags = audit_plan(name, plan)
+        cross_bad = audit_cross_sides(df)
+        if cross_bad:
+            failures += 1
+            flags.extend(cross_bad)
         status = " | ".join(flags) if flags else "clean"
         print(f"=== {name}: {status}")
         if len(sys.argv) > 1:  # detail only when explicitly named
             print(plan)
+    if failures:
+        print(f"AUDIT FAILED: {failures} query(s) with unbounded "
+              "cross joins")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
