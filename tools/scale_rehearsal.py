@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Scale rehearsal: time the headline set plus the named scale-risk
+queries at sf0.1 and at the tiled sf1 (tools/gen_sfn.py), and report
+the per-query scaling exponent  e = log10(t_sf1 / t_sf0.1)  (data
+grows 10x, so e ~ 1.0 is linear, e < 1 amortizes fixed overhead,
+e > 1.3 flags super-linear growth worth a look).
+
+    python tools/scale_rehearsal.py [--sf1 /root/repo/.scratch/sf1]
+
+One Spark session for both scales; each query runs twice per scale
+(warm-up discarded) at sf0.1 and twice at sf1 (max kept — noise at
+multi-second runtimes is small relative to the decade we measure).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_tool_rep_spark.session import get_spark  # noqa: E402
+
+WEAK = ["string_distance", "pagerank", "triangle_count"]
+
+
+def time_query(spark, fn, sf_dir: str, iters: int = 2) -> float:
+    best = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--names", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import bench
+    from etl_tool_rep_spark.queries import QUERIES
+    names = args.names or (bench.HEADLINE + WEAK)
+
+    spark = get_spark("scale_rehearsal")
+    out = {}
+    for name in names:
+        fn = QUERIES[name]
+        t_small = time_query(spark, fn, "/root/testdata/sf0.1")
+        t_big = time_query(spark, fn, args.sf1)
+        exp = round(math.log10(max(t_big, 1e-3)
+                               / max(t_small, 1e-3)), 2)
+        out[name] = {"sf0.1_s": t_small, "sf1_s": t_big,
+                     "exponent": exp}
+        print(json.dumps({"query": name, **out[name]}), flush=True)
+    total_small = round(sum(v["sf0.1_s"] for v in out.values()), 1)
+    total_big = round(sum(v["sf1_s"] for v in out.values()), 1)
+    print(json.dumps({"total_sf0.1_s": total_small,
+                      "total_sf1_s": total_big,
+                      "overall_exponent": round(
+                          math.log10(total_big / total_small), 2)}))
+
+
+if __name__ == "__main__":
+    main()
