@@ -108,22 +108,29 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-edge adjacency-ARRAY joins (450k edges x 3.6 KB arrays
     shipped twice) drown the query.
 
-    Round 4 (driver bitset build removed): node state is still a
-    bitset when the node-id span is dimension-bounded, but it is now
-    built DISTRIBUTED — each adjacency row folds its neighbor list
-    into an array<bigint> bit row with JVM ``aggregate``/``transform``
-    bit math — and shipped to edges through ordinary broadcast hash
-    joins; the per-edge intersection is
-    ``sum(bit_count(sig_a & sig_b))``, whole-stage codegen end to
-    end. No ``.collect()`` of anything data-sized: the only driver
-    action is a 1-row min/max/count agg whose result picks the
-    strategy (bitset rows for small spans vs ``array_intersect``
-    adjacency join for large/sparse graphs — there the bit row, not
-    the edge list, is what stops fitting). Edge construction is a
-    per-order pair expansion on the orderkey shuffle (baskets <= 7
-    suppliers), localCheckpointed once for the three consuming
-    branches (prefer persist/reliable checkpoint on a multi-executor
-    cluster).
+    Round 4 (interval bitset): the dense bit row (span/64
+    words per node) was quadratic on community-structured graphs —
+    a graph of T dense blocks has node span T*b but each row only
+    touches ~b/64 words, so per-edge AND cost grew with the GLOBAL
+    span even though rows were mostly zero words. The signature is
+    now an INTERVAL bitset: each row stores its populated word range
+    ``[lo, hi]`` (words = 64-bit blocks of neighbor ids) plus the
+    dense word array for just that range; the per-edge intersection
+    slices the two rows to their range OVERLAP and zips
+    ``bit_count(x & y)`` over it — O(overlap words), independent of
+    global node span. A truly dense graph degenerates to exactly the
+    old dense-bitset cost (every row spans everything); a
+    blocked/community graph pays only its block width; rows in
+    disjoint regions short-circuit to 0 on the range test. With no
+    fixed global row width there is no span cap, so the old driver
+    min/max strategy probe AND the array_intersect fallback are both
+    gone — zero driver actions, one strategy. Adjacency
+    sides flow through plain equi-joins: Catalyst/AQE broadcasts
+    them while they fit (local fixtures) and falls back to shuffle
+    joins at cluster scale. Edge construction is a per-order pair
+    expansion on the orderkey shuffle (baskets <= 7 suppliers),
+    localCheckpointed once for the three consuming branches (prefer
+    persist/reliable checkpoint on a multi-executor cluster).
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # per-order pair expansion (one shuffle on orderkey, map-side
@@ -140,34 +147,47 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("_p.a", "_p.b").distinct())
     edges = edges.localCheckpoint(eager=True)
 
-    # one metadata-sized action (like collecting kmeans centroids):
-    # the node-id span decides bitset vs adjacency-intersection plan
-    mm = edges.agg(
-        F.least(F.min("a"), F.min("b")).alias("mn"),
-        F.greatest(F.max("a"), F.max("b")).alias("mx")).first()
-    mn, span = int(mm["mn"]), int(mm["mx"]) - int(mm["mn"]) + 1
-
     adj = edges.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
-    if span <= 1 << 16:  # bit row <= 8 KB, bitset table <= span^2/8
-        words = (span + 63) // 64
-        sig = F.expr(f"""
-            aggregate(nbrs, array_repeat(0L, {words}),
-                      (acc, nb) -> transform(acc, (w, wi) ->
-                          if(wi = CAST((nb - {mn}) div 64 AS INT),
-                             w | shiftleft(1L, CAST((nb - {mn}) % 64
-                                                    AS INT)),
-                             w)))""")
-        inter = F.expr("""
-            aggregate(zip_with(_sa, _sb, (x, y) -> bit_count(x & y)),
-                      0L, (acc, v) -> acc + v)""")
-    else:
-        sig = F.array_sort("nbrs")
-        inter = F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+    # interval bitset: row = (lo word, words[lo..hi]) covering only
+    # the populated word range. Build is O(deg * row_words).
+    # let-bind (lo, word count) once per row — referencing them raw
+    # inside the build lambdas would re-run array_min/array_max per
+    # element (the CollapseProject hazard, see functions/exprs.let_bind)
+    sig = F.expr("""
+        element_at(transform(
+            array(struct(
+                CAST(array_min(nbrs) div 64 AS INT) AS lo,
+                CAST(array_max(nbrs) div 64
+                     - array_min(nbrs) div 64 AS INT) + 1 AS wn)),
+            m -> struct(
+                m.lo AS lo,
+                transform(sequence(0, m.wn - 1), wi ->
+                    aggregate(
+                        filter(nbrs,
+                               nb -> CAST(nb div 64 AS INT) - m.lo = wi),
+                        0L,
+                        (acc, nb) -> acc | shiftleft(
+                            1L, CAST(nb % 64 AS INT)))) AS w)), 1)""")
+    # per-edge: walk the word-range overlap once, O(1) element_at
+    # lookups into both rows — no slice/zip intermediates.
+    inter = F.expr("""
+        CASE WHEN greatest(_sa.lo, _sb.lo)
+                  > least(_sa.lo + size(_sa.w), _sb.lo + size(_sb.w)) - 1
+             THEN 0L
+             ELSE aggregate(
+                 sequence(greatest(_sa.lo, _sb.lo),
+                          least(_sa.lo + size(_sa.w),
+                                _sb.lo + size(_sb.w)) - 1),
+                 0L,
+                 (acc, wi) -> acc + bit_count(
+                     element_at(_sa.w, wi - _sa.lo + 1)
+                     & element_at(_sb.w, wi - _sb.lo + 1)))
+        END""")
     sa = adj.select(F.col("a"), sig.alias("_sa"))
     sb = adj.select(F.col("a").alias("b"), sig.alias("_sb"))
     # every edge's a has outgoing edges (inner join safe); b may not
-    tri = (edges.join(F.broadcast(sa), "a")
-           .join(F.broadcast(sb), "b", "left")
+    tri = (edges.join(sa, "a")
+           .join(sb, "b", "left")
            .select(F.when(F.col("_sb").isNull(), F.lit(0).cast("bigint"))
                     .otherwise(inter).alias("k"))
            .agg(F.sum("k").cast("bigint").alias("n_triangles")))

@@ -13,6 +13,15 @@ Design notes (what makes the scaling measurement honest):
   same value distributions. Blocking keys (p_brand) keep their 25
   values — blocks get 10x bigger, exactly the stress a 10x corpus
   applies.
+* ``part.p_name``: tile k > 0 appends a 6-char per-tile marker
+  (``' ' || repeat(letter_k, 6)``). The fixture has only 64 distinct
+  names, so without the remap every name occurs 10x more often and
+  any (brand, name)-keyed similarity output fans out 100x — the
+  measurement would read quadratic for fixture reasons. The marker is
+  injective per tile (within-tile edit distances shift by the shared
+  suffix, preserving match structure) and any cross-tile name pair
+  differs in >= 6 trailing chars, beyond the tau=3 threshold — so the
+  similarity universe grows linearly like a real 10x catalog.
 * ``documents``: tile k > 0 suffixes every word with ``x<k>``. An
   injective word map preserves within-tile shingle/Jaccard structure
   EXACTLY while cross-tile shingle overlap drops to ~zero — without
@@ -55,9 +64,17 @@ def tile_relational(con, table: str, tiles: int, out_dir: str) -> None:
     cols = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'").fetchall()]
     strides = STRIDES.get(table, {})
-    proj = ", ".join(
-        f"{c} + t.k * {strides[c]} AS {c}" if c in strides else c
-        for c in cols)
+    def col_expr(c: str) -> str:
+        if c in strides:
+            return f"{c} + t.k * {strides[c]} AS {c}"
+        if table == "part" and c == "p_name":
+            # injective per-tile rename: keeps distinct-name count
+            # growing with the corpus (see module docstring)
+            return ("CASE WHEN t.k = 0 THEN p_name ELSE p_name || ' ' "
+                    "|| repeat(chr(CAST(97 + (t.k % 26) AS INTEGER)), 6) "
+                    "END AS p_name")
+        return c
+    proj = ", ".join(col_expr(c) for c in cols)
     con.execute(f"""
         COPY (SELECT {proj}
               FROM '{SRC}/{table}.parquet',
