@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 
 from etl_tool_rep_spark.catalog import load
 from etl_tool_rep_spark.queries import QUERIES
-from etl_tool_rep_spark.streaming import (read_event_stream,
+from etl_tool_rep_spark.streaming import (deduped_stream,
+                                          read_event_stream,
                                           run_available_now,
                                           sessionized_stream,
                                           windowed_agg_stream)
@@ -62,6 +63,40 @@ def test_stream_matches_batch_session(spark, sf_dir, event_stream_dir):
         "t_session")
     batch = QUERIES["session_window_agg"](spark, sf_dir)
     _frames_equal(got, batch)
+
+
+def test_stream_matches_batch_sliding(spark, sf_dir, event_stream_dir):
+    """Full-frame parity with the registered sliding_window_agg (1h
+    windows, 15min slide — each event fans out to 4 windows). The
+    streaming plan shares the exact window + decimal-sum expressions,
+    so parity is bit-identical."""
+    stream = read_event_stream(spark, event_stream_dir, fmt="parquet")
+    got = run_available_now(
+        windowed_agg_stream(stream, "1 hour", slide="15 minutes",
+                            watermark="10 minutes"),
+        "t_sliding")
+    batch = QUERIES["sliding_window_agg"](spark, sf_dir)
+    _frames_equal(got, batch)
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming exact-dedup parity on the real fixture: the events
+    table written TWICE (full at-least-once redelivery) streamed
+    through dropDuplicatesWithinWatermark must reproduce the batch
+    events frame exactly — every column, every row, once."""
+    out = str(tmp_path_factory.mktemp("events_doubled"))
+    ev = load(spark, sf_dir, "events")
+    ev.unionAll(ev).coalesce(2).write.mode("overwrite").parquet(out)
+    stream = deduped_stream(
+        read_event_stream(spark, out, fmt="parquet"),
+        keys=["event_id"], watermark="10 minutes")
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    q = (stream.writeStream.format("memory").queryName("t_pdedup")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish"
+    _frames_equal(spark.table("t_pdedup"), ev)
 
 
 def test_watermark_is_attached(spark, event_stream_dir):
