@@ -225,8 +225,11 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("shiftleft(1L, pos % 64)").alias("mask"))
                 .groupBy("word").agg(F.bit_or("mask").alias("bits")))
     word_map = {r["word"]: r["bits"] for r in bits.collect()}
-    bloom = F.array(*[F.lit(word_map.get(i, 0)).cast("bigint")
-                      for i in range(_BLOOM_WORDS)])
+    # one parsed SQL literal, not _BLOOM_WORDS F.lit Columns — the
+    # same py4j-storm fix as operators/knn.ivf_assign (building 1024
+    # Column objects costs ~2s of driver time per call)
+    bloom = F.expr("array(" + ",".join(
+        f"{word_map.get(i, 0)}L" for i in range(_BLOOM_WORDS)) + ")")
 
     # probe: all 3 bits set -> candidate; exact semi join after
     probe = c.withColumn("bf", bloom)
