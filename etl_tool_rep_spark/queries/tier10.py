@@ -562,3 +562,133 @@ def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio", "day",
         F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
         (est_cents / F.lit(100.0)).alias("est"))
+
+
+@query(
+    "mrr_metric",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS rnk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(CASE WHEN lang = 'en' THEN rnk END) AS first_rel_rank,
+           COALESCE(ROUND(1.0 / MIN(CASE WHEN lang = 'en' THEN rnk END),
+                          6), 0.0) AS rr
+    FROM ranked GROUP BY source
+    """,
+)
+def mrr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank — the retrieval-eval metric for "did the
+    first relevant hit come early". Each source acts as one query:
+    its documents are ranked by a deterministic retrieval score
+    (n_chars desc, doc_id tiebreak) and relevance is lang = 'en';
+    rr = 1/rank of the first relevant document (0 when none).
+    Averaging rr over sources gives MRR; per-source rows are returned
+    so the metric composes (slice by source, re-aggregate upstream).
+
+    Scale: one window per source partition + one aggregate — a
+    ranking-quality sweep over any corpus costs one shuffle."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                             F.asc("doc_id"))
+    ranked = d.select("source", "lang",
+                      F.row_number().over(w).alias("rnk"))
+    rel_rank = F.min(F.when(F.col("lang") == "en", F.col("rnk")))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 rel_rank.alias("first_rel_rank"),
+                 F.coalesce(F.round(1.0 / rel_rank, 6), F.lit(0.0))
+                  .alias("rr")))
+
+
+@query(
+    "ndcg_metric",
+    oracle="""
+    WITH graded AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 2
+                  WHEN lang IN ('de', 'fr') THEN 1
+                  ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS rnk
+      FROM documents
+    ),
+    ideal AS (
+      SELECT source, rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY rel DESC, rnk ASC) AS irnk
+      FROM graded
+    ),
+    dcg AS (
+      SELECT source,
+             SUM(CASE WHEN rnk <= 10 THEN
+                   CAST(ROUND((POW(2, rel) - 1) / LOG2(rnk + 1), 8)
+                        AS DECIMAL(18,8)) ELSE 0 END) AS dcg
+      FROM graded GROUP BY source
+    ),
+    idcg AS (
+      SELECT source,
+             SUM(CASE WHEN irnk <= 10 THEN
+                   CAST(ROUND((POW(2, rel) - 1) / LOG2(irnk + 1), 8)
+                        AS DECIMAL(18,8)) ELSE 0 END) AS idcg
+      FROM ideal GROUP BY source
+    )
+    SELECT d.source,
+           CAST(d.dcg AS DOUBLE) AS dcg10,
+           CAST(i.idcg AS DOUBLE) AS idcg10,
+           CASE WHEN i.idcg = 0 THEN 0.0
+                ELSE ROUND(CAST(d.dcg AS DOUBLE)
+                           / CAST(i.idcg AS DOUBLE), 6) END AS ndcg10
+    FROM dcg d JOIN idcg i USING (source)
+    """,
+)
+def ndcg_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 — graded ranking quality. Same deterministic retrieval
+    ranking as mrr_metric; graded relevance en=2, de/fr=1, else 0.
+    DCG@10 = sum (2^rel - 1)/log2(rank+1) over the top 10; IDCG is
+    the same sum over the ideal (relevance-sorted) ordering; nDCG
+    their ratio. Per-term values are rounded to 8 dp and summed as
+    DECIMAL so the sum is order-invariant — bit-identical across
+    engines and partitionings (the repo's standard float-agg
+    contract).
+
+    Scale: two windows over the same source partitioning + one
+    aggregate; nothing global."""
+    d = load(spark, sf_dir, "documents")
+    rel = (F.when(F.col("lang") == "en", 2)
+           .when(F.col("lang").isin("de", "fr"), 1).otherwise(0))
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                             F.asc("doc_id"))
+    graded = d.select("source", rel.alias("rel"),
+                      F.row_number().over(w).alias("rnk"))
+    wi = Window.partitionBy("source").orderBy(F.desc("rel"),
+                                              F.asc("rnk"))
+    ideal = graded.select("source", "rel",
+                          F.row_number().over(wi).alias("irnk"))
+
+    def gain(rank_col):
+        return F.round((F.pow(F.lit(2.0), F.col("rel")) - 1)
+                       / F.log2(rank_col + 1), 8).cast("decimal(18,8)")
+
+    dcg = (graded.groupBy("source")
+           .agg(F.sum(F.when(F.col("rnk") <= 10, gain(F.col("rnk")))
+                      .otherwise(F.lit(0).cast("decimal(18,8)")))
+                .alias("_dcg")))
+    idcg = (ideal.groupBy("source")
+            .agg(F.sum(F.when(F.col("irnk") <= 10, gain(F.col("irnk")))
+                       .otherwise(F.lit(0).cast("decimal(18,8)")))
+                 .alias("_idcg")))
+    return (dcg.join(idcg, "source")
+            .select("source",
+                    F.col("_dcg").cast("double").alias("dcg10"),
+                    F.col("_idcg").cast("double").alias("idcg10"),
+                    F.when(F.col("_idcg") == 0, F.lit(0.0))
+                     .otherwise(F.round(F.col("_dcg").cast("double")
+                                        / F.col("_idcg").cast("double"),
+                                        6)).alias("ndcg10")))

@@ -236,6 +236,29 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("query_id", "vec_id", "score", "rank")
 
 
+@query("ann_pq_knn")  # rows-only: codes are codebook-layout-specific
+def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact refine: train 16x16
+    codebooks on a deterministic sample, encode the corpus to 16-byte
+    codes (16x compression of the 64-dim float vectors — the
+    memory-bound 100 TB path: executors scan table-lookup codes, and
+    raw floats are fetched only for the per-query shortlist), ADC
+    shortlist-100 + exact-L2 rerank to top-10 for the first 5 query
+    vectors. Recall@10 ~0.98 vs brute force, asserted in tests
+    (tests/test_pq.py)."""
+    from ..operators import pq as PQ
+    em = load(spark, sf_dir, "embeddings")
+    books = PQ.pq_train(em, "vec_id", "embedding", m=16, ksub=16)
+    codes = PQ.pq_encode(em.select("vec_id", "embedding"),
+                         "embedding", books).select("vec_id", "pq_code")
+    return PQ.pq_topk_refined(
+        queries=em.filter(F.col("vec_id") < 5),
+        query_id="vec_id", query_vec="embedding",
+        codes=codes, vectors=em, cand_id="vec_id", cand_vec="embedding",
+        k=10, shortlist=100, codebooks=books) \
+        .toDF("query_id", "vec_id", "l2_dist", "rank")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

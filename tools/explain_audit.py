@@ -42,7 +42,11 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "approx_distinct", "groupby_agg",
                    # two-stage rerank: per-query candidate lists are
                    # broadcast-sized by construction
-                   "mmr_rerank"}
+                   "mmr_rerank",
+                   # PQ ADC scan: corpus codes x broadcast query LUTs
+                   # (the != self condition makes it an NLJ; the query
+                   # side is explicitly broadcast and tiny)
+                   "ann_pq_knn"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
