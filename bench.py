@@ -12,9 +12,15 @@ Hygiene (round-3): each headline query runs $SPARK_GRAFT_BENCH_ITERS
 times (default 4); the first iteration is discarded as warm-up
 (JIT/codegen/shuffle-file cache) and the reported number is the median
 of the rest.  Every remaining registered query is also timed once and
-recorded under "all_queries" so regressions outside the headline set
-are visible round-over-round.  Set SPARK_GRAFT_BENCH_FULL=0 to skip
-the full sweep (fast local iteration).
+recorded in BENCH_SWEEP.json (a file, NOT the stdout line) so
+regressions outside the headline set are visible round-over-round.
+Set SPARK_GRAFT_BENCH_FULL=0 to skip the full sweep (fast local
+iteration).
+
+The stdout contract line stays compact on purpose: the driver captures
+only the tail of stdout, and round 3 proved that inlining the
+180-query sweep pushes the line past that capture window (the driver
+recorded parsed=null).  Headline dict only on stdout; sweep to disk.
 """
 
 from __future__ import annotations
@@ -102,6 +108,12 @@ def main() -> None:
             except Exception:
                 all_queries[name] = -1.0  # failed; correctness gate will say why
 
+    if all_queries:
+        sweep_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json")
+        with open(sweep_path, "w") as fh:
+            json.dump({"sf": _sf(), "all_queries": all_queries}, fh, indent=1)
+
     out = {
         "metric": "total_headline_sec",
         "value": round(sum(timings.values()), 3),
@@ -111,9 +123,15 @@ def main() -> None:
         "iters": ITERS,
         "stat": "median_after_warmup_discard",
     }
-    if all_queries:
-        out["all_queries"] = all_queries
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Hard guard on the driver-tail capture window (2000 chars observed):
+    # degrade by dropping per-query detail before ever exceeding it.
+    if len(line) > 1900:
+        out["queries"] = {k: v for k, v in sorted(
+            timings.items(), key=lambda kv: -kv[1])[:20]}
+        out["queries_truncated_to_top"] = 20
+        line = json.dumps(out)
+    print(line)
 
 
 def _sf():

@@ -40,6 +40,7 @@ from . import tier10  # noqa: F401,E402
 from . import tier11  # noqa: F401,E402
 from . import tier12  # noqa: F401,E402
 from . import tier13  # noqa: F401,E402
+from . import tier15  # noqa: F401,E402
 
 if _HAVE_NUMPY_STACK:  # Pandas-UDF/numpy-kernel tiers
     from . import tier3  # noqa: F401,E402

@@ -1,0 +1,219 @@
+"""Tier-15 queries (round 4): corpus governance + skew-path proofs.
+
+No counterpart in the reference (/root/reference/main.py implements
+only Direct Map / Conditional / Lookup); these extend the
+LLM-data-pipeline surface mandated by BASELINE.json, and close two
+gaps a 100 TB operator hits weekly:
+
+* boilerplate detection — the span-level complement of document dedup
+  (headers/footers/templates repeat across *different* documents and
+  survive doc-level dedup untouched);
+* one BPE merge step — the corpus statistic tokenizer training is
+  built from (the most frequent adjacent symbol pair);
+* the dataset manifest ("data card") — per-(lang, source) size /
+  token / duplication accounting that every curation decision reads;
+* salted join + salted aggregation registered as QUERIES with plain
+  SQL oracles — the skew utilities in operators/skew.py are only
+  usable at 100 TB if they are *provably* semantics-preserving, so
+  their equivalence to the unsalted plan is part of the correctness
+  gate, not just a unit test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.dedup import normalize_text, word_shingles
+from ..operators.skew import salted_agg_count, salted_join
+from .registry import query
+
+
+@query(
+    "boilerplate_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, str_split_regex(text, '\s+') AS w
+      FROM documents WHERE text IS NOT NULL),
+    sp AS (
+      SELECT DISTINCT doc_id, source,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] || ' ' ||
+             w[i + 4] || ' ' || w[i + 5] AS g
+      FROM toks, LATERAL (SELECT unnest(range(greatest(len(w) - 4, 0)))
+                          AS i) s
+      WHERE len(w) >= 5)
+    SELECT g AS span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sp GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: 5-word spans occurring in >= 3
+    distinct documents, with their document/source spread and first
+    corpus occurrence. Doc-level dedup never sees these (the
+    surrounding documents differ); span-level detection is how
+    headers, cookie banners and license blurbs get stripped before
+    training.
+
+    Scale: distinct spans per doc are produced by one JVM-side
+    shingling pass (`word_shingles` — let-bound split, array_distinct)
+    and the only shuffle is the groupBy(span) with map-side partial
+    distinct-count combine. Span keys are content-hashes at 100 TB
+    (xxhash64(g)) if string width ever dominates the exchange; the
+    HAVING filter prunes the (overwhelming) singleton tail before any
+    further join. No all-pairs anything — cost is linear in corpus
+    tokens.
+    """
+    d = load(spark, sf_dir, "documents")
+    spans = (d.filter(F.col("text").isNotNull())
+              .filter(F.size(F.split(F.col("text"), r"\s+")) >= 5)
+              .select("doc_id", "source",
+                      F.explode(word_shingles(F.col("text"), 5))
+                       .alias("span")))
+    return (spans.groupBy("span")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.countDistinct("source").cast("bigint").alias("n_sources"),
+                 F.min("doc_id").cast("bigint").alias("first_doc"))
+            .filter(F.col("n_docs") >= 3))
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(str_split_regex(text, '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    pairs AS (
+      SELECT substr(w, i + 1, 2) AS pair
+      FROM words, LATERAL (SELECT unnest(range(length(w) - 1)) AS i) s
+      WHERE length(w) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step over the corpus: the 20 most frequent
+    adjacent character pairs across all word occurrences (count
+    multiplicity, not distinct — BPE merges by total frequency).
+    Deterministic top-k: total order (cnt DESC, pair ASC) so both
+    engines pick the same boundary rows.
+
+    Scale: explode to (pair) rows then ONE hash aggregate with
+    map-side combine; the key universe is at most alphabet^2 (tiny),
+    so the post-partial shuffle moves a few thousand rows regardless
+    of corpus size — the canonical associative-agg shape. The final
+    top-20 is a TakeOrdered over the aggregated (tiny) set, not a
+    global sort of the data.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = (d.filter(F.col("text").isNotNull())
+          .select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+          .filter(F.length("w") >= 2))
+    pairs = w.select(F.explode(F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(20))
+
+
+@query(
+    "dataset_manifest",
+    oracle=r"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(str_split_regex(text, '\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lower(trim(regexp_replace(
+                  text, '\s+', ' ', 'g')))) AS BIGINT) AS n_distinct,
+           round(1.0 - COUNT(DISTINCT lower(trim(regexp_replace(
+                  text, '\s+', ' ', 'g')))) * 1.0 / COUNT(*), 6)
+             AS dup_rate,
+           round(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY lang, source
+    """,
+)
+def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(lang, source) data card: document / token / byte
+    volume, exact-duplicate rate, and mean length — the table a
+    curation run publishes so mixture decisions (`mixture_weights`,
+    `temperature_resample`) read measured facts instead of folklore.
+
+    Scale: single groupBy over low-cardinality keys; every aggregate
+    is algebraic except the distinct-normalized-text count, which
+    hash-partials per group (Spark plans count(distinct) via a
+    two-phase Expand; key cardinality here is tiny so the rewrite is
+    cheap). n_chars/token sums stay integer until one final double
+    division, so parallel summation cannot drift from the serial
+    oracle.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = normalize_text(F.col("text"))
+    return (d.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.size(F.split(F.col("text"), r"\s+")))
+                  .cast("bigint").alias("n_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.countDistinct(norm).cast("bigint").alias("n_distinct"),
+                 F.round(1.0 - F.countDistinct(norm) / F.count(F.lit(1)), 6)
+                  .alias("dup_rate"),
+                 F.round(F.sum("n_chars") / F.count(F.lit(1)), 6)
+                  .alias("avg_chars")))
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o.o_orderkey AS okey, o.o_custkey AS custkey,
+           o.o_totalprice AS totalprice, c.c_name AS customer_name,
+           c.c_mktsegment AS segment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted join (operators/skew.py) registered against the
+    PLAIN join's oracle: salting must be invisible in the result. The
+    fact side's hot keys are spread across salt_factor=8 shuffle
+    buckets (salt = pmod(xxhash64(row), 8)); the dim side replicates 8x
+    via an exploded literal array — no driver action, no extra scan.
+
+    Scale: this is the fallback for joins where AQE's skew splitting
+    can't act (hash-partitioned non-sort-merge plans, or a build side
+    too big to broadcast but with few hot probe keys). The 8x dim
+    fan-out is the explicit, bounded price; the win is that one
+    hot customer's orders land on 8 reducers instead of one.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    fact = orders.select(F.col("o_orderkey").alias("okey"),
+                         F.col("o_custkey").alias("custkey"),
+                         F.col("o_totalprice").alias("totalprice"))
+    dim = cust.select(F.col("c_custkey").alias("custkey"),
+                      F.col("c_name").alias("customer_name"),
+                      F.col("c_mktsegment").alias("segment"))
+    return salted_join(fact, dim, "custkey", salt_factor=8)
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) against the
+    plain GROUP BY oracle: partial counts per (key, salt) then a final
+    combine per key must equal a direct count. event_type is exactly
+    the shape that goes hot at 100 TB (a handful of values, one
+    dominant); the salt bounds any single reducer's share of a hot
+    key at 1/salt_factor of its rows.
+    """
+    return salted_agg_count(load(spark, sf_dir, "events"),
+                            "event_type", salt_factor=8)
