@@ -487,23 +487,32 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(2% relative, 1.0 absolute) of exact — deterministic for a
     fixed input, and the oracle states the booleans must be TRUE."""
     li = load(spark, sf_dir, "lineitem")
+    # One sketch / one exact buffer per COLUMN, not per quantile: the
+    # array form shares the accumulator across the three quantity
+    # quantiles (3x fewer GK sketches and sort buffers per group).
+    # Accuracy 2500 bounds rank error at n/2500 (= 0.04% of a group)
+    # — two orders of magnitude inside the 2%-relative contract below.
     agg = (li.groupBy(F.col("l_returnflag").alias("returnflag"))
-             .agg(F.percentile_approx("l_quantity", F.lit(0.25), 10000)
-                   .alias("a25"),
-                  F.percentile_approx("l_quantity", F.lit(0.5), 10000)
-                   .alias("a50"),
-                  F.percentile_approx("l_quantity", F.lit(0.75), 10000)
-                   .alias("a75"),
-                  F.percentile_approx("l_extendedprice", F.lit(0.9), 10000)
+             .agg(F.percentile_approx(
+                      "l_quantity",
+                      F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 2500)
+                   .alias("aq"),
+                  F.percentile_approx("l_extendedprice", F.lit(0.9), 2500)
                    .alias("a90"),
-                  F.round(F.percentile("l_quantity", F.lit(0.25)), 6)
-                   .alias("q25_exact"),
-                  F.round(F.percentile("l_quantity", F.lit(0.5)), 6)
-                   .alias("median_exact"),
-                  F.round(F.percentile("l_quantity", F.lit(0.75)), 6)
-                   .alias("q75_exact"),
+                  F.percentile(
+                      "l_quantity",
+                      F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+                   .alias("eq"),
                   F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6)
                    .alias("p90_exact")))
+    agg = agg.select(
+        "returnflag", "a90", "p90_exact",
+        F.element_at("aq", 1).alias("a25"),
+        F.element_at("aq", 2).alias("a50"),
+        F.element_at("aq", 3).alias("a75"),
+        F.round(F.element_at("eq", 1), 6).alias("q25_exact"),
+        F.round(F.element_at("eq", 2), 6).alias("median_exact"),
+        F.round(F.element_at("eq", 3), 6).alias("q75_exact"))
     ok = lambda a, e: (F.abs(F.col(a) - F.col(e))  # noqa: E731
                        <= F.greatest(0.02 * F.abs(F.col(e)), F.lit(1.0)))
     return agg.select(

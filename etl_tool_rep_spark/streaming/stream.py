@@ -97,15 +97,19 @@ def deduped_stream(events: DataFrame,
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,
-                      timeout_s: int = 120) -> DataFrame:
+                      timeout_s: int = 120,
+                      output_mode: str = "complete") -> DataFrame:
     """Run a streaming plan over all currently-available input
     (Trigger.AvailableNow), collect results via the memory sink, and
-    return them as a batch DataFrame. Used by tests to assert
-    stream==batch equivalence."""
+    return them as a batch DataFrame. Used by tests and the tier-16
+    driver-gated streaming queries to assert stream==batch
+    equivalence. ``output_mode``: "complete" for aggregations,
+    "append" for row-level operators (dedup, maps) that emit as they
+    process."""
     q = (stream_df.writeStream
          .format("memory")
          .queryName(query_name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     finished = q.awaitTermination(timeout_s)
