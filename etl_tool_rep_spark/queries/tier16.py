@@ -44,7 +44,13 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     source, which must list a directory) into a per-sf parquet dir.
     Idempotent per (tmpdir, sf tag); rewritten only when absent so
     repeated queries share the staging cost."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    import hashlib
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    # basename for readability + path hash so distinct dirs sharing a
+    # basename (testdata/sf1 vs .scratch/sf1) can never serve each
+    # other's staged files
+    tag = (os.path.basename(norm) or "sf") + "-" + \
+        hashlib.sha1(norm.encode()).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
