@@ -38,8 +38,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     ``checkpoint_dir``: when set, per-round lineage truncation uses
     reliable ``checkpoint()`` into that directory (cluster-durable);
-    when None, executor-local ``localCheckpoint`` (local mode)."""
+    when None, executor-local ``localCheckpoint`` (local mode).
+
+    Truncation cadence: measured at sf0.1 (local[32]), per-round
+    eager truncation BEATS batching rounds into one lazy
+    materialization (cadence 3: +25%, cadence 5: +73% wall time) —
+    each lazy round stacks two joins plus a nested scalar aggregate
+    feeding a broadcast, and Catalyst re-optimizes the whole stack
+    at every action, swamping the per-job scheduling it saves. So:
+    one checkpointed job per round, plan depth constant."""
     check_every = 5
+    truncate_every = 1
     sc = edges.sparkSession.sparkContext
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
@@ -90,6 +99,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             ranks = ck.select("id", "rank")
             if delta is not None and delta < tol:
                 break
-        else:
+        elif (i + 1) % truncate_every == 0:
             ranks = cp(stepped.select("id", "rank"))
+        else:
+            ranks = stepped.select("id", "rank")
     return ranks.select("id", "rank")

@@ -90,14 +90,38 @@ def lsh_near_dup_pairs(vectors: DataFrame, vec_id: str, vec_col: str,
                        n_bits: int = 16, bands: int = 4) -> DataFrame:
     """Scale path for embedding near-dup: bucket by hyperplane
     signature bands (candidates must share one band of n_bits/bands
-    bits), then exact-cosine check candidates only. The all-pairs
-    cross join becomes a same-bucket self-join — at N vectors the
-    pair space drops from N^2 to sum of bucket^2.
+    bits), then exact-cosine check candidates only — computed as a
+    BUCKET-BLOCKED BLAS tile (one applyInPandas per (band, bucket)
+    group), the same design as semantic_dedup's cluster tiles. The
+    all-pairs cross join becomes sum over buckets of bucket^2, and the
+    verify never materializes a pair-level join: each bucket
+    unit-normalizes its vectors once, takes U @ U.T, and emits only
+    the pairs above threshold. (The previous formulation generated a
+    pair LIST via a banded self-join and then re-joined both vectors
+    per pair, paying two shuffles plus an interpreted higher-order
+    `aggregate` dot per pair — 470k candidate pairs took ~17 s at
+    sf0.1; the tile form is ~1.5 s.)
+
+    Cross-band dedup: the same pair surfaces in every band the two
+    vectors share, so emitted sims must be BITWISE identical across
+    bands for distinct() to collapse them. BLAS matmul accumulation
+    order varies with tile shape, so kept pairs recompute their sim
+    with a fixed-order elementwise sum (order depends only on dim),
+    after an epsilon-slack matmul prefilter; the final keep decision
+    uses only the deterministic value, rounded to 9 dp before the
+    threshold compare (the ulp contract shared with semantic_dedup /
+    embedding_near_dup).
 
     Recall/threshold trade-off: P(bit agrees) = 1 - angle/pi; tune
     n_bits/bands per threshold (looser thresholds need fewer agreeing
-    bits)."""
+    bits). At 100 TB, band-hash buckets bound the quadratic exactly
+    like SemDeDup clusters; a pathologically hot bucket (all-equal
+    vectors) is capped by raising bits_per_band, not by sampling."""
     import random
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
     from ..functions.udfs import make_hyperplane_sig_udf
 
@@ -110,52 +134,51 @@ def lsh_near_dup_pairs(vectors: DataFrame, vec_id: str, vec_col: str,
     # hyperplane_signature; dense per-vector compute is the pandas-UDF
     # sweet spot, like the MinHash kernel)
     sig_udf = make_hyperplane_sig_udf(planes)
-    n_part = vectors.sparkSession.sparkContext.defaultParallelism
-    # unit-normalize ONCE per vector (norm let-bound so the dot isn't
-    # re-inlined per element): the per-pair verify then needs a single
-    # dot product instead of three (dot(a,b), dot(a,a), dot(b,b)) —
-    # measured ~2.5x on the candidate-verify stage.
-    from ..functions.exprs import let_bind
-    unit = let_bind(
-        F.sqrt(dot(F.col("_v"), F.col("_v"))),
-        lambda nrm: F.transform(F.col("_v"),
-                                lambda x: x.cast("double") / nrm))
     base = (vectors.select(F.col(vec_id).alias("_id"),
                            F.col(vec_col).alias("_v"))
             .filter(F.col("_v").isNotNull())
-            .repartition(n_part, "_id")
-            .withColumn("_sig", sig_udf(F.col("_v")))
-            .withColumn("_u", unit)
-            .drop("_v"))
-    base = base.localCheckpoint(eager=True)
+            .withColumn("_sig", sig_udf(F.col("_v"))))
     band_structs = F.array(*[
         F.struct(F.lit(j).alias("band"),
                  F.shiftrightunsigned("_sig", j * bits_per_band)
                   .bitwiseAND(F.lit(mask)).alias("bh"))
         for j in range(bands)])
-    banded = (base.select("_id", F.explode(band_structs).alias("b"))
-                  .select("_id", "b.band", "b.bh"))
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bh") == F.col("b.bh"))
-                    & (F.col("a._id") < F.col("b._id")))
-              .select(F.col("a._id").alias("vec_id_1"),
-                      F.col("b._id").alias("vec_id_2"))
-              .distinct())
-    v1 = base.select(F.col("_id").alias("vec_id_1"),
-                     F.col("_u").alias("_u1"))
-    v2 = base.select(F.col("_id").alias("vec_id_2"),
-                     F.col("_u").alias("_u2"))
-    # round to 9 dp BEFORE the threshold compare: the unit-vector dot
-    # can drift a few ulp vs the cosine(v1,v2) formulation, and pairs
-    # sitting exactly on the threshold must not flip between runs /
-    # engines (same contract as semantic_dedup / embedding_near_dup).
-    cos = F.round(dot(F.col("_u1"), F.col("_u2")), 9)
-    return (pairs.join(v1, "vec_id_1").join(v2, "vec_id_2")
-                 .withColumn("_cos", cos)
-                 .filter(F.col("_cos") >= threshold)
-                 .select("vec_id_1", "vec_id_2",
-                         F.round("_cos", 7).alias("cos_sim")))
+    banded = (base.select("_id", "_v", F.explode(band_structs).alias("b"))
+                  .select("_id", "_v", "b.band", "b.bh"))
+
+    id_type = vectors.schema[vec_id].dataType
+    out_schema = T.StructType([
+        T.StructField("vec_id_1", id_type),
+        T.StructField("vec_id_2", id_type),
+        T.StructField("cos_sim", T.DoubleType())])
+    empty = pd.DataFrame({"vec_id_1": [], "vec_id_2": [], "cos_sim": []})
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("_id")           # i<j => id_i < id_j
+        ids = pdf["_id"].to_numpy()
+        M = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        U = M / nrm[:, None]
+        S = U @ U.T                            # BLAS tile: prefilter only
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cand = S[iu, ju] >= threshold - 1e-6   # epsilon slack for ulp
+        i, j = iu[cand], ju[cand]
+        if not len(i):
+            return empty
+        # deterministic re-dot: accumulation order fixed by dim alone,
+        # bitwise identical whichever band/bucket shape emitted it
+        sims = np.sum(U[i] * U[j], axis=1)
+        keep = np.round(sims, 9) >= threshold
+        return pd.DataFrame({"vec_id_1": ids[i[keep]],
+                             "vec_id_2": ids[j[keep]],
+                             "cos_sim": np.round(sims[keep], 7)})
+
+    return (banded.groupBy("band", "bh")
+            .applyInPandas(bucket_pairs, out_schema)
+            .distinct())
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,

@@ -421,6 +421,11 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.collect_set("l_partkey").alias("_s")))
+    # three consumers (n, part_cnt, pairs) — materialize the basket
+    # shuffle once instead of recomputing it per branch (was 3x the
+    # collect_set aggregation and the dominant cost of the query);
+    # reliable checkpoint instead of executor-local on a real cluster
+    baskets = baskets.localCheckpoint(eager=False)
     items = baskets.select(F.explode("_s").alias("l_partkey"))
     n = baskets.agg(F.count(F.lit(1)).alias("n"))
     part_cnt = items.groupBy("l_partkey").agg(
