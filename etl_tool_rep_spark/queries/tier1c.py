@@ -250,13 +250,19 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for emails/phones/SSNs in a real corpus) plus a mask count for
     audit. All-JVM regexp — the LLM-corpus cleaning primitive that
     must never fall back to per-row Python. DuckDB needs the 'g' flag
-    to match Spark's replace-all default."""
+    to match Spark's replace-all default.
+
+    Group index 0 is EXPLICIT: PySpark's regexp_extract_all defaults
+    to capture group 1, and '[0-9]+' has no groups — Spark validates
+    the index only when a row actually matches, so on the digit-free
+    small fixtures the bug was latent and the sf1 rehearsal (whose
+    tiled text contains digits) was what surfaced it."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.substring(F.regexp_replace("text", "[0-9]+", "<NUM>"),
                     1, 120).alias("red_prefix"),
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]+")))
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
          .alias("n_masked"))
 
 

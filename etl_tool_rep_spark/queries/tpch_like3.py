@@ -46,8 +46,9 @@ _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
              AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
              / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
@@ -69,6 +70,17 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shipdate filter pushes to the parquet scan. Averages are
     derived from the same decimal sums as the sum columns (one pass,
     engine-identical float division).
+
+    sum_charge sums exact integer MICRO-UNITS (floor(x*1e6 + 0.5))
+    instead of casting the double product to DECIMAL(24,6) per row:
+    Spark's double->decimal cast rounds the double's SHORTEST decimal
+    repr (BigDecimal.valueOf) while DuckDB rounds its exact binary
+    expansion, so rows whose shortest repr lands exactly on a .5 tie
+    at the 6th decimal quantize differently — invisible at sf0.1,
+    ~4 rows at sf1 (caught by the scale rehearsal's oracle run). The
+    floor idiom evaluates identical doubles identically in both
+    engines; the integer sum is exact (< 2^63 up to ~sf1000) and the
+    final long->double + /1e6 rounds once, identically.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
@@ -79,8 +91,8 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_qty.alias("sum_qty"),
         sum_price.alias("sum_base_price"),
         F.sum(_dec(_REV())).cast("double").alias("sum_disc_price"),
-        F.sum((_REV() * (1 + F.col("l_tax"))).cast("decimal(24,6)"))
-         .cast("double").alias("sum_charge"),
+        (F.sum(F.floor(_REV() * (1 + F.col("l_tax")) * 1e6 + 0.5)
+               .cast("long")).cast("double") / 1e6).alias("sum_charge"),
         (sum_qty / cnt).alias("avg_qty"),
         (sum_price / cnt).alias("avg_price"),
         (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
