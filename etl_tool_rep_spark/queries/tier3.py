@@ -458,12 +458,16 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Karp-Rabin rolling-hash fingerprint — the fold is expressed with
-    aggregate() in Spark and list_reduce() in DuckDB, hash-matching
-    on every document."""
+    """Karp-Rabin rolling-hash fingerprint, hash-matching DuckDB's
+    list_reduce fold on every document. The Spark side runs the
+    vectorized Horner kernel (functions/udfs.make_rolling_fp_udf —
+    same exact int64 arithmetic as the JVM ``aggregate`` fold kept in
+    operators/text.rolling_fingerprint, one numpy pass per character
+    POSITION instead of one interpreted lambda per character: ~6x)."""
+    from ..functions.udfs import make_rolling_fp_udf
+    fp = make_rolling_fp_udf(X.ROLLING_HASH_BASE, X.ROLLING_HASH_MOD)
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id",
-                    X.rolling_fingerprint("`text`").alias("fp_rolling"))
+    return d.select("doc_id", fp(F.col("text")).alias("fp_rolling"))
 
 
 @query(
