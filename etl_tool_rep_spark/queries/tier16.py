@@ -71,6 +71,21 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "q_streaming_tumbling_agg")
 
 
+@query("streaming_sliding_agg", oracle=ORACLES["sliding_window_agg"])
+def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window / 15 min slide — each event fans
+    out to 4 windows) run by the streaming engine under availableNow,
+    hash-matched to the batch sliding oracle. The fan-out multiplies
+    STATE, not input: the watermark still drops every window whose
+    end falls behind it, so state is (windows per slide x keys), a
+    constant factor over tumbling."""
+    stream = read_event_stream(
+        spark, _staged_events_dir(spark, sf_dir), fmt="parquet")
+    return run_available_now(
+        windowed_agg_stream(stream, "1 hour", slide="15 minutes"),
+        "q_streaming_sliding_agg")
+
+
 @query("streaming_session_agg", oracle=ORACLES["session_window_agg"])
 def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (state merges across events) under
