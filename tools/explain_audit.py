@@ -40,6 +40,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "tpch_q11_important_stock", "tpch_q22_idle_customers",
                    "tpch_q15_top_supplier", "ratio_to_report",
                    "approx_distinct", "groupby_agg",
+                   # tier-17 scalar attaches: KS max-gap + sample sizes,
+                   # degree-histogram total (1-row aggregates, audited
+                   # <=1-row bound below like every entry here)
+                   "ks_test", "degree_distribution",
                    # two-stage rerank: per-query candidate lists are
                    # broadcast-sized by construction
                    "mmr_rerank",
