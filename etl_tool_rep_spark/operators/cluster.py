@@ -27,18 +27,34 @@ from pyspark.sql import functions as F
 
 def connected_components(pairs: DataFrame,
                          src: str = "id_1", dst: str = "id_2",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Cluster ids from an undirected edge list.
 
     Returns (id, cluster_id) where cluster_id is the minimum vertex id
     reachable from ``id``; isolated vertices are not emitted (callers
-    left-join and coalesce to self). Deterministic for any input."""
+    left-join and coalesce to self). Deterministic for any input.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``checkpoint()`` into that directory — on a real cluster
+    an executor loss then recovers from storage instead of killing the
+    loop's lineage (same durability flag as operators/graph.pagerank);
+    when None, executor-local ``localCheckpoint`` (local mode)."""
+    spark_ = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark_.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cp(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .unionByName(
                  pairs.select(F.col(dst).alias("a"),
                               F.col(src).alias("b")))
              .distinct())
-    edges = edges.localCheckpoint()
+    edges = cp(edges)
     # candidate-pair graphs are usually far smaller than the corpus:
     # right-size the iteration's shuffle width so per-round fixed cost
     # doesn't dominate (AQE coalesces stage-by-stage, but the loop's
@@ -65,7 +81,7 @@ def connected_components(pairs: DataFrame,
         new_labels = (labels.unionByName(neighbor_labels)
                       .groupBy("id")
                       .agg(F.min("label").alias("label")))
-        new_labels = new_labels.localCheckpoint()
+        new_labels = cp(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.label") != F.col("o.label"))
