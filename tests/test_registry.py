@@ -1,5 +1,5 @@
-"""Registry tripwires: the driver contract is exactly 202 keys
-(SURVEY.md §2.2 through tier 18), each
+"""Registry tripwires: the driver contract is exactly 208 keys
+(SURVEY.md §2.2 through tier 19), each
 with a callable, every oracle keyed by a registered query. Guards
 against silent shrinkage (a failed tier import used to drop its keys
 without a sound — see queries/__init__.py's import policy)."""
@@ -9,7 +9,7 @@ import sys
 
 from etl_tool_rep_spark.queries import ORACLES, QUERIES
 
-EXPECTED = 202
+EXPECTED = 208
 
 
 def test_registry_counts():

@@ -50,7 +50,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # PQ ADC scan: corpus codes x broadcast query LUTs
                    # (the != self condition makes it an NLJ; the query
                    # side is explicitly broadcast and tiny)
-                   "ann_pq_knn"}
+                   "ann_pq_knn",
+                   # tier-19 scalar attaches: Benford grand total,
+                   # DSIR corpus totals (1-row broadcast aggregates)
+                   "benford_digits", "dsir_weights"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
