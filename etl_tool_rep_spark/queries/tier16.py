@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.stream import (
     deduped_stream,
+    interval_join_stream,
     read_event_stream,
     run_available_now,
     sessionized_stream,
@@ -125,3 +126,34 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                             output_mode="append")
     return (out.groupBy("event_id")
             .count().withColumnRenamed("count", "n_copies"))
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution
+    within 1 h) executed BY THE STREAMING ENGINE — two watermarked
+    file-source streams, event-time-bounded join state, availableNow,
+    append sink — hash-matched against the plain batch self-join
+    oracle. This is the fourth streaming execution path behind the
+    gate (after windowed agg, session agg and watermarked dedup), and
+    the one whose state story matters most at 100 TB: without the
+    time bound in the join condition, stream-stream join state is
+    unbounded; with it, each side retains only (horizon + watermark)
+    of events."""
+    staged = _staged_events_dir(spark, sf_dir)
+    left = read_event_stream(spark, staged, fmt="parquet")
+    right = read_event_stream(spark, staged, fmt="parquet")
+    return run_available_now(interval_join_stream(left, right),
+                             "q_streaming_interval_join",
+                             output_mode="append")

@@ -96,6 +96,47 @@ def deduped_stream(events: DataFrame,
             .dropDuplicatesWithinWatermark(keys or ["event_id"]))
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         left_type: str = "click",
+                         right_type: str = "purchase",
+                         horizon: str = "1 hour",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: for each `left_type` event, the
+    `right_type` events by the same user within [ts, ts + horizon].
+    The attribution-window primitive (click → purchase conversion).
+
+    Both sides carry watermarks and the join condition bounds the
+    right side's event time relative to the left's — the two things
+    Spark REQUIRES before it will age out join state: a left row can
+    be dropped once the right watermark passes left.ts + horizon, a
+    right row once the left watermark passes right.ts. Without the
+    time bound, stream-stream join state grows forever; with it,
+    state is (events within horizon + watermark) per side regardless
+    of stream length.
+
+    Lag is emitted in integer microseconds (unix_micros) — exact
+    cross-engine arithmetic, no truncation ambiguity."""
+    lf = (left.filter(F.col("event_type") == left_type)
+              .select(F.col("event_id").alias("click_id"),
+                      "user_id", F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", watermark))
+    rt = (right.filter(F.col("event_type") == right_type)
+               .select(F.col("event_id").alias("purchase_id"),
+                       F.col("user_id").alias("p_user"),
+                       F.col("ts").alias("p_ts"))
+               .withWatermark("p_ts", watermark))
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return (lf.join(rt, cond)
+              .select("click_id", "purchase_id", "user_id",
+                      (F.unix_micros(F.col("p_ts"))
+                       - F.unix_micros(F.col("c_ts")))
+                      .cast("bigint").alias("lag_us")))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       timeout_s: int = 120,
                       output_mode: str = "complete") -> DataFrame:
