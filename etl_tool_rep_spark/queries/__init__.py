@@ -45,6 +45,7 @@ from . import tier16  # noqa: F401,E402  (reads tier2's oracles; keep after)
 from . import tier17  # noqa: F401,E402
 from . import tier18  # noqa: F401,E402
 from . import tier19  # noqa: F401,E402
+from . import tier20  # noqa: F401,E402
 
 if _HAVE_NUMPY_STACK:  # Pandas-UDF/numpy-kernel tiers
     from . import tier3  # noqa: F401,E402

@@ -1,0 +1,183 @@
+"""Tier-20 queries (round 4): exact-oracle graph components + rolling
+distinct reach.
+
+No counterpart in the reference (/root/reference/main.py implements
+only Direct Map / Conditional / Lookup); these extend the
+LLM-data-pipeline surface mandated by BASELINE.json.
+
+* `dedup_components_exact` upgrades the connected-components story:
+  `near_dedup_clusters` (tier 3) is rows-only because MinHash
+  candidates are sketch-dependent — here the SAME iterative
+  min-label-propagation loop runs over the EXACT 3-gram-Jaccard pair
+  graph and is hash-matched against a DuckDB RECURSIVE CTE. After
+  bfs_distances this is the second iterative operator with an exact
+  SQL oracle, and the one that certifies the dedup clustering loop
+  itself.
+* `rolling_active_users` is the trailing-24 h distinct-user series —
+  the operator behind every DAU/WAU dashboard. Spark has no
+  COUNT(DISTINCT) OVER a range frame; the scalable form is the
+  bounded fan-out expansion (each user-hour contributes to <= 24
+  target hours) + one exact distinct aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup as D
+from .registry import query
+
+_COMP_HOPS = 6
+
+# the exact-Jaccard candidate graph, shared verbatim with the
+# ngram_jaccard_dedup oracle (tier3) — the recursion below walks the
+# graph those pairs induce
+_PAIR_CTE = """
+    toks AS (
+      SELECT doc_id, source, str_split_regex(text, '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), tri AS (
+      SELECT DISTINCT doc_id, source,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM toks, LATERAL (SELECT unnest(range(greatest(len(w) - 2, 0)))
+                          AS i) s
+      WHERE len(w) >= 3
+    ), counts AS (
+      SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS ni
+      FROM tri a JOIN tri b
+        ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.id_1, i.id_2
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.id_1
+      JOIN counts cb ON cb.doc_id = i.id_2
+      WHERE i.ni * 1.0 / (ca.n + cb.n - i.ni) >= 0.05
+    )
+"""
+
+
+@query(
+    "dedup_components_exact",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTE},
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION ALL
+      SELECT id_2 AS a, id_1 AS b FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT a AS id FROM edges
+    ), walk(id, lbl, d) AS (
+      SELECT id, id, 0 FROM nodes
+      UNION
+      SELECT e.b, w.lbl, w.d + 1
+      FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.d < {_COMP_HOPS}
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(lbl) AS BIGINT) AS component
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (min-label within {hops} hops) over the
+    EXACT 3-gram-Jaccard near-dup pair graph, hash-matched against a
+    DuckDB RECURSIVE CTE — certifying the same iterative label-
+    propagation loop `near_dedup_clusters` runs on MinHash candidates
+    (rows-only there, because sketch candidates aren't
+    SQL-reproducible; the exact pair graph is).
+
+    Equivalence: k rounds of v.lbl = min(v.lbl, min(neighbor lbls))
+    propagate a label exactly k edges per round, so after H rounds
+    each node holds the min label reachable within <= H hops — the
+    same quantity the CTE's bounded walk aggregates. Both sides use
+    the bound H={hops}, so parity holds EVEN IF a component's
+    diameter exceeds it (both would report the same partial labels).
+
+    Scale: the pair graph is orders of magnitude smaller than the
+    corpus (near-dup candidates only); each round is one
+    (edges join labels) shuffle + a min-aggregate, lineage-truncated
+    per round like operators/graph.py. At 100 TB swap
+    localCheckpoint for reliable checkpoint (cluster durability),
+    exactly as pagerank does behind its flag.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, min_jaccard=0.05) \
+        .select("id_1", "id_2")
+    edges = (pairs.select(F.col("id_1").alias("a"),
+                          F.col("id_2").alias("b"))
+             .unionByName(pairs.select(F.col("id_2").alias("a"),
+                                       F.col("id_1").alias("b")))
+             .localCheckpoint(eager=True))
+    lbl = (edges.select(F.col("a").alias("id")).distinct()
+           .select("id", F.col("id").alias("lbl")))
+    for _ in range(_COMP_HOPS):
+        nb_min = (edges.join(lbl.select(F.col("id").alias("a"),
+                                        F.col("lbl").alias("_nl")), "a")
+                  .groupBy(F.col("b").alias("id"))
+                  .agg(F.min("_nl").alias("_m")))
+        lbl = (lbl.join(nb_min, "id", "left")
+               .select("id", F.least(F.col("lbl"),
+                                     F.coalesce(F.col("_m"),
+                                                F.col("lbl")))
+                        .alias("lbl"))
+               .localCheckpoint(eager=True))
+    return lbl.select(F.col("id").cast("bigint").alias("doc_id"),
+                      F.col("lbl").cast("bigint").alias("component"))
+
+
+dedup_components_exact.__doc__ = dedup_components_exact.__doc__.format(
+    hops=_COMP_HOPS)
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH uh AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours AS (
+      SELECT DISTINCT h FROM uh
+    )
+    SELECT hours.h AS hour,
+           CAST(COUNT(DISTINCT uh.user_id) AS BIGINT) AS active_users
+    FROM hours JOIN uh
+      ON uh.h >= hours.h - INTERVAL 23 HOUR AND uh.h <= hours.h
+    GROUP BY hours.h
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24 h distinct active users per hour bucket — the
+    DAU-style rolling-reach series. Spark has no COUNT(DISTINCT)
+    OVER a RANGE frame, and a naive range self-join explodes on hot
+    windows; the distributable form is bounded fan-out: collapse to
+    one row per (hour, user) FIRST (map-side combinable distinct —
+    the corpus-sized reduction), then each user-hour contributes to
+    at most 24 target hours (explode 0..23), then one exact distinct
+    count per target hour. Shuffle volume is 24x user-hours, NOT
+    24x events, and is independent of per-hour event skew.
+
+    Target hours are restricted to buckets that actually contain
+    events (semi-join) so both engines enumerate the same output
+    domain. Hour arithmetic is integer-microsecond timestamp math —
+    exact in both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    uh = (e.select(F.date_trunc("hour", F.col("ts")).alias("h"),
+                   "user_id")
+           .distinct()
+           .localCheckpoint(eager=False))
+    hours = uh.select("h").distinct()
+    expanded = (uh.withColumn("k", F.explode(F.sequence(F.lit(0),
+                                                        F.lit(23))))
+                .select(F.timestamp_add("HOUR", F.col("k"), F.col("h"))
+                         .alias("hour"), "user_id"))
+    return (expanded
+            .join(F.broadcast(hours.select(F.col("h").alias("hour"))),
+                  "hour", "semi")
+            .groupBy("hour")
+            .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("active_users")))

@@ -1,0 +1,66 @@
+"""Unit semantics for the tier-20 additions on hand-built frames.
+
+* dedup_components_exact: a 3-doc near-dup chain (A~B~C, A!~C)
+  collapses to one component labeled by the min doc_id; an isolated
+  pair forms its own; non-duplicated docs are absent.
+* rolling_active_users: exact trailing-24h distinct counts on a
+  hand-placed timeline, including the window boundary at exactly
+  23 hours back (inclusive) and 24 hours back (excluded).
+"""
+
+import datetime
+
+import pytest
+
+from etl_tool_rep_spark.queries import QUERIES
+
+
+def _t(day, hour):
+    return datetime.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture()
+def chain_docs(spark):
+    # B overlaps heavily with both A and C, but A and C share almost
+    # nothing directly -> transitivity must link them (1 component)
+    a = "one two three four five six seven eight"
+    b = "two three four five six seven eight nine"
+    c = "three four five six seven eight nine ten"
+    d = "island alpha beta gamma delta epsilon zeta"
+    e_ = "island alpha beta gamma delta epsilon eta"
+    f = "completely different words in this document here"
+    rows = [(10, a), (11, b), (12, c), (20, d), (21, e_), (30, f)]
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+
+
+def test_components_chain_and_island(spark, chain_docs, monkeypatch):
+    import etl_tool_rep_spark.queries.tier20 as t20
+    monkeypatch.setattr(t20, "load", lambda s, d, n: chain_docs)
+    got = {r["doc_id"]: r["component"] for r in
+           QUERIES["dedup_components_exact"](spark, "ignored").collect()}
+    assert got[10] == got[11] == got[12] == 10   # chain collapses
+    assert got[20] == got[21] == 20              # island pair
+    assert 30 not in got                         # singleton absent
+
+
+def test_rolling_active_users_boundaries(spark, monkeypatch):
+    import etl_tool_rep_spark.queries.tier20 as t20
+    # user 1 at day1 00:00; user 2 at day1 23:00 (inside user 1's
+    # 24h window ending 23:00); user 3 at day2 00:00 — user 1's hour
+    # is exactly 24h back by then and must be EXCLUDED
+    events = spark.createDataFrame(
+        [(1, _t(1, 0), 1, "click", 1.0, None),
+         (2, _t(1, 23), 2, "click", 1.0, None),
+         (3, _t(2, 0), 3, "click", 1.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    monkeypatch.setattr(t20, "load", lambda s, d, n: events)
+    got = {r["hour"]: r["active_users"] for r in
+           QUERIES["rolling_active_users"](spark, "ignored").collect()}
+    assert got[_t(1, 0)] == 1          # only user 1 so far
+    assert got[_t(1, 23)] == 2         # 00:00 is 23h back -> included
+    assert got[_t(2, 0)] == 2          # user 1 now 24h back -> out
+    assert len(got) == 3               # only event-bearing hours emit
