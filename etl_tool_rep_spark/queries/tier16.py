@@ -157,3 +157,45 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(interval_join_stream(left, right),
                              "q_streaming_interval_join",
                              output_mode="append")
+
+
+@query(
+    "streaming_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(coalesce(value, 0) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom-stateful path behind the
+    gate — the fifth streaming execution path, and the only one that
+    exercises arbitrary per-key Python state (GroupState get/update)
+    rather than built-in windowing. Each micro-batch folds its rows
+    into a (count, integer-cents sum) tuple and emits the running
+    profile; the final state per user — the row with the highest
+    n_events, unique because counts are strictly increasing — must
+    equal the plain batch GROUP BY exactly. Cents accumulate as
+    int64 (floor(v*100+0.5)), so the result is independent of both
+    pandas accumulation order and micro-batch slicing.
+
+    Scale: one compact tuple per key in the state store; with a
+    processing-time timeout (streaming/stateful.py's profile
+    operator) idle keys age out — the state bound that keeps
+    1000-executor stateful jobs alive."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import user_profile_cents_stream
+
+    stream = read_event_stream(
+        spark, _staged_events_dir(spark, sf_dir), fmt="parquet")
+    out = run_available_now(user_profile_cents_stream(stream),
+                            "q_streaming_stateful_profile",
+                            output_mode="update")
+    final = (out.groupBy("user_id")
+             .agg(F.max(F.struct("n_events", "total_cents"))
+                   .alias("_s")))
+    return final.select("user_id", F.col("_s.n_events").alias("n_events"),
+                        F.col("_s.total_cents").alias("total_cents"))
