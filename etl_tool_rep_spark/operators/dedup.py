@@ -291,6 +291,31 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                  .select("id_1", "id_2", "hamming"))
 
 
+def gram_set(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", block_col: str = "source",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram rows (_id, _blk, _g) per (doc, block) —
+    the shared gram universe behind exact-Jaccard, containment and
+    component queries (SQL twin: queries/shared_sql.NGRAM_GRAM_CTES;
+    change both together). Docs shorter than n words have no full
+    n-gram and do not participate (standard n-gram semantics;
+    mirrors the SQL oracle — unlike MinHash, which keeps a
+    truncated-shingle fallback).
+
+    The exploded-distinct set is materialized once (executor-local
+    checkpoint; prefer persist/reliable checkpoint on a real
+    cluster): every caller fans it out to 2-3 branches (join sides +
+    per-doc counts) and the shingle explode + distinct shuffle would
+    otherwise re-run per branch."""
+    tri = (df.filter(F.size(F.split(F.col(text_col), r"\s+")) >= n)
+             .select(F.col(id_col).alias("_id"),
+                     F.col(block_col).alias("_blk"),
+                     F.explode(word_shingles(F.col(text_col), n))
+                      .alias("_g"))
+             .distinct())
+    return tri.localCheckpoint(eager=False)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", block_col: str = "source",
                         n: int = 3,
@@ -299,21 +324,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     n-grams, self-join on (gram, block) to count intersections, then
     |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing >=1 gram ever
     materialize — the blocking + gram join bounds the pair space."""
-    # docs shorter than n words have no full n-gram and do not
-    # participate (standard n-gram semantics; mirrors the SQL oracle —
-    # unlike MinHash above, which keeps a truncated-shingle fallback)
-    tri = (df.filter(F.size(F.split(F.col(text_col), r"\s+")) >= n)
-             .select(F.col(id_col).alias("_id"),
-                     F.col(block_col).alias("_blk"),
-                     F.explode(word_shingles(F.col(text_col), n))
-                      .alias("_g"))
-             .distinct())
-    # materialize the exploded-distinct gram set once: it feeds three
-    # branches (both join sides + per-doc counts) and the shingle
-    # explode + distinct shuffle would otherwise run three times
-    # (executor-local checkpoint; prefer persist/reliable checkpoint
-    # on a real cluster)
-    tri = tri.localCheckpoint(eager=False)
+    tri = gram_set(df, text_col, id_col, block_col, n)
     counts = tri.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = tri.alias("a"), tri.alias("b")
     inter = (a.join(b, (F.col("a._g") == F.col("b._g"))

@@ -181,10 +181,16 @@ def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (floor(v*100+0.5)), so the result is independent of both
     pandas accumulation order and micro-batch slicing.
 
-    Scale: one compact tuple per key in the state store; with a
-    processing-time timeout (streaming/stateful.py's profile
-    operator) idle keys age out — the state bound that keeps
-    1000-executor stateful jobs alive."""
+    Scale: one compact tuple per key in the state store. THIS gated
+    operator deliberately runs GroupStateTimeout.NoTimeout — a
+    bounded availableNow replay terminates, and the final-row
+    selection below (max n_events, unique because counts strictly
+    increase) relies on every emission carrying new rows. A
+    production continuous deployment must add a timeout to age out
+    idle keys (the state bound that keeps 1000-executor stateful
+    jobs alive) — and its timed-out emissions (unchanged n_events)
+    would then require keyed upsert semantics downstream instead of
+    this max-row reduction."""
     from pyspark.sql import functions as F
 
     from ..streaming.stateful import user_profile_cents_stream

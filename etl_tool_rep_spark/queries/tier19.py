@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.dedup import word_shingles
+from ..operators.dedup import gram_set
+from . import shared_sql
 from .registry import query
 
 # Benford expected first-digit probabilities log10(1 + 1/d), d=1..9,
@@ -358,19 +359,8 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "containment_dedup",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, source, str_split_regex(text, '\\s+') AS w
-      FROM documents WHERE text IS NOT NULL
-    ), tri AS (
-      SELECT DISTINCT doc_id, source,
-             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
-      FROM toks, LATERAL (SELECT unnest(range(greatest(len(w) - 2, 0)))
-                          AS i) s
-      WHERE len(w) >= 3
-    ), counts AS (
-      SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
-    ), inter AS (
+    oracle=f"""
+    WITH {shared_sql.NGRAM_GRAM_CTES}, inter AS (
       SELECT a.doc_id AS id_src, b.doc_id AS id_dst, count(*) AS ni
       FROM tri a JOIN tri b
         ON a.g = b.g AND a.source = b.source AND a.doc_id <> b.doc_id
@@ -398,12 +388,7 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds both join sides and the per-doc counts.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    tri = (d.filter(F.size(F.split(F.col("text"), r"\s+")) >= 3)
-            .select(F.col("doc_id").alias("_id"),
-                    F.col("source").alias("_blk"),
-                    F.explode(word_shingles(F.col("text"), 3)).alias("_g"))
-            .distinct()
-            .localCheckpoint(eager=False))
+    tri = gram_set(d)
     counts = tri.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = tri.alias("a"), tri.alias("b")
     inter = (a.join(b, (F.col("a._g") == F.col("b._g"))
@@ -482,11 +467,15 @@ def neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=False))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a, b = e.alias("a"), e.alias("b")
+    # truncate before the symmetrizing union: co feeds both branches,
+    # and the part-key self-join + shuffled groupBy (the expensive
+    # stage) must not re-run per branch
     co = (a.join(b, (F.col("a.p") == F.col("b.p"))
                  & (F.col("a.s") < F.col("b.s")))
            .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
            .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
-           .filter(F.col("shared") >= 2))
+           .filter(F.col("shared") >= 2)
+           .localCheckpoint(eager=False))
     sym = (co.select(F.col("s1").alias("src"), F.col("s2").alias("dst"),
                      "shared")
              .unionAll(co.select(F.col("s2").alias("src"),

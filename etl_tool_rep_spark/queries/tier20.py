@@ -27,38 +27,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import dedup as D
+from . import shared_sql
 from .registry import query
 
 _COMP_HOPS = 6
 
-# the exact-Jaccard candidate graph, shared verbatim with the
-# ngram_jaccard_dedup oracle (tier3) — the recursion below walks the
-# graph those pairs induce
-_PAIR_CTE = """
-    toks AS (
-      SELECT doc_id, source, str_split_regex(text, '\\s+') AS w
-      FROM documents WHERE text IS NOT NULL
-    ), tri AS (
-      SELECT DISTINCT doc_id, source,
-             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
-      FROM toks, LATERAL (SELECT unnest(range(greatest(len(w) - 2, 0)))
-                          AS i) s
-      WHERE len(w) >= 3
-    ), counts AS (
-      SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS ni
-      FROM tri a JOIN tri b
-        ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT i.id_1, i.id_2
-      FROM inter i
-      JOIN counts ca ON ca.doc_id = i.id_1
-      JOIN counts cb ON cb.doc_id = i.id_2
-      WHERE i.ni * 1.0 / (ca.n + cb.n - i.ni) >= 0.05
-    )
-"""
+# the exact-Jaccard candidate graph, shared (one definition, not a
+# copy) with the ngram_jaccard_dedup oracle — the recursion below
+# walks the graph those pairs induce
+_PAIR_CTE = shared_sql.NGRAM_JACCARD_PAIRS_CTES
 
 
 @query(
@@ -106,8 +83,13 @@ def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as pagerank does behind its flag.
     """
     docs = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, min_jaccard=0.05) \
-        .select("id_1", "id_2")
+    # truncate the pair pipeline's lineage BEFORE the symmetrizing
+    # union: pairs feeds both union branches, and without this the
+    # gram self-join + jaccard filter (the dominant cost) would run
+    # twice when the eager edge checkpoint materializes
+    pairs = (D.ngram_jaccard_pairs(docs, min_jaccard=0.05)
+              .select("id_1", "id_2")
+              .localCheckpoint(eager=False))
     edges = (pairs.select(F.col("id_1").alias("a"),
                           F.col("id_2").alias("b"))
              .unionByName(pairs.select(F.col("id_2").alias("a"),

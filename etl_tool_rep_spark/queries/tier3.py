@@ -18,6 +18,7 @@ from ..operators import dedup as D
 from ..operators import knn as K
 from ..operators import multimodal as M
 from ..operators import text as X
+from . import shared_sql
 from .registry import query
 
 
@@ -69,24 +70,8 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_dedup",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, source, str_split_regex(text, '\\s+') AS w
-      FROM documents WHERE text IS NOT NULL
-    ), tri AS (
-      SELECT DISTINCT doc_id, source,
-             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
-      FROM toks, LATERAL (SELECT unnest(range(greatest(len(w) - 2, 0)))
-                          AS i) s
-      WHERE len(w) >= 3
-    ), counts AS (
-      SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS ni
-      FROM tri a JOIN tri b
-        ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    oracle=f"""
+    WITH {shared_sql.NGRAM_GRAM_CTES}{shared_sql.NGRAM_INTER_UNDIRECTED}
     SELECT i.id_1, i.id_2,
            round(i.ni * 1.0 / (ca.n + cb.n - i.ni), 6) AS jaccard
     FROM inter i

@@ -1,5 +1,5 @@
 """Registry tripwires: the driver contract is exactly 212 keys
-(SURVEY.md §2.2 through tier 19), each
+(SURVEY.md §2.2 through tier 20), each
 with a callable, every oracle keyed by a registered query. Guards
 against silent shrinkage (a failed tier import used to drop its keys
 without a sound — see queries/__init__.py's import policy)."""
