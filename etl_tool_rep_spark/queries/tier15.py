@@ -217,3 +217,119 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return salted_agg_count(load(spark, sf_dir, "events"),
                             "event_type", salt_factor=8)
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One BPE training round as SQL: count adjacent symbol pairs
+    weighted by word frequency, pick the argmax (total order: count
+    desc, pair asc), rewrite every sequence with the merged symbol.
+
+    The rewrite is pure LITERAL string replace — no regex, so the two
+    engines cannot diverge on match semantics. Boundary safety uses
+    the space-doubling trick: double every separator, pad the ends,
+    replace ' a  b ' -> ' ab ' (each occurrence owns its surrounding
+    spaces even when occurrences are adjacent), then collapse the
+    remaining doubles and trim."""
+    return f""", p{k} AS (
+      SELECT s[i + 1] AS a, s[i + 2] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT str_split(seq, ' ') AS s, cnt FROM v{k - 1}) t,
+           LATERAL (SELECT unnest(range(greatest(len(s) - 1, 0))) AS i) u
+      GROUP BY 1, 2
+    ), t{k} AS (
+      SELECT a, b, c FROM p{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ), v{k} AS (
+      SELECT trim(replace(replace(
+               ' ' || replace(seq, ' ', '  ') || ' ',
+               ' ' || t.a || '  ' || t.b || ' ',
+               ' ' || t.a || t.b || ' '),
+             '  ', ' ')) AS seq, cnt
+      FROM v{k - 1}, t{k} t
+    )"""
+
+
+_BPE_ORACLE = r"""
+    WITH words AS (
+      SELECT unnest(str_split_regex(text, '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), v0 AS (
+      SELECT regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS seq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM words GROUP BY 1
+    )""" + "".join(_bpe_round_sql(k) for k in (1, 2, 3)) + """
+    SELECT CAST(1 AS INT) AS merge_round, a AS left_sym,
+           b AS right_sym, a || b AS merged, c AS pair_count FROM t1
+    UNION ALL
+    SELECT CAST(2 AS INT), a, b, a || b, c FROM t2
+    UNION ALL
+    SELECT CAST(3 AS INT), a, b, a || b, c FROM t3
+    """
+
+
+@query("bpe_merge_train", oracle=_BPE_ORACLE)
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of actual BPE tokenizer training (Sennrich et al.
+    2016) over the corpus word-frequency table: each round counts
+    adjacent symbol pairs weighted by word frequency, merges the
+    argmax pair corpus-wide, and the next round runs on the rewritten
+    sequences. Output = the learned merge table (round, pair, count)
+    — hash-matched against a DuckDB oracle that chains the same three
+    rounds as CTEs. bpe_pair_counts above is the ONE-step statistic;
+    this is the iterative loop tokenizer training actually runs.
+
+    Exactness: pair selection is integer counts with a (count desc,
+    pair asc) total order; the sequence rewrite is LITERAL
+    space-doubled replace (no regex) so adjacent occurrences merge
+    identically in both engines.
+
+    Scale: BPE trains on the VOCABULARY (distinct words + counts),
+    not the corpus — the only corpus-sized pass is the initial word
+    count (map-side combinable). Each round shuffles |vocab| short
+    sequences; the argmax is a TakeOrdered over the pair aggregate.
+    The per-round driver action moves one 3-column row (the merge
+    decision) — the same bounded-metadata pattern as kmeans'
+    centroid collect; 10k merges = 10k tiny rounds on a real run,
+    amortized by training on the vocab not the corpus.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+    v = (words.groupBy(
+            F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "),
+                     F.lit("</w>")).alias("seq"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    pairs_expr = F.expr("""
+        arrays_zip(slice(split(seq, ' '), 1, size(split(seq, ' ')) - 1),
+                   slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1))
+    """)
+    tops = []
+    for k in (1, 2, 3):
+        pr = (v.select("cnt", F.explode(pairs_expr).alias("p"))
+               .groupBy(F.col("p").getField("0").alias("a"),
+                        F.col("p").getField("1").alias("b"))
+               .agg(F.sum("cnt").cast("bigint").alias("c")))
+        top = (pr.orderBy(F.col("c").desc(), F.col("a").asc(),
+                          F.col("b").asc())
+                 .limit(1)
+                 .localCheckpoint(eager=True))  # one 3-col row/round
+        tops.append(top.select(
+            F.lit(k).cast("int").alias("merge_round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat(F.col("a"), F.col("b")).alias("merged"),
+            F.col("c").alias("pair_count")))
+        padded = F.concat(F.lit(" "),
+                          F.replace(F.col("seq"), F.lit(" "),
+                                    F.lit("  ")),
+                          F.lit(" "))
+        pat = F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"),
+                       F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
+        v = (v.crossJoin(F.broadcast(top))
+              .select(F.trim(F.replace(F.replace(padded, pat, rep),
+                                       F.lit("  "), F.lit(" ")))
+                       .alias("seq"), "cnt")
+              .localCheckpoint(eager=False))  # rounds chain: keep the
+        # plan tree flat instead of nesting 3 rewrites deep
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out

@@ -64,3 +64,23 @@ def test_rolling_active_users_boundaries(spark, monkeypatch):
     assert got[_t(1, 23)] == 2         # 00:00 is 23h back -> included
     assert got[_t(2, 0)] == 2          # user 1 now 24h back -> out
     assert len(got) == 3               # only event-bearing hours emit
+
+
+def test_bpe_merge_train_hand_corpus(spark, monkeypatch):
+    # corpus: abab x2, abc x1 -> round 1 merges (a,b) count 5;
+    # round 2 ties (ab,ab)=2 vs (ab,</w>)=2 -> '</w>' < 'ab' wins;
+    # round 3 merges (ab, ab</w>) count 2
+    import etl_tool_rep_spark.queries.tier15 as t15
+    docs = spark.createDataFrame(
+        [(0, "abab abab abc", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    monkeypatch.setattr(t15, "load", lambda s, d, n: docs)
+    from etl_tool_rep_spark.queries import QUERIES
+    got = {r["merge_round"]: (r["left_sym"], r["right_sym"],
+                              r["merged"], r["pair_count"])
+           for r in QUERIES["bpe_merge_train"](spark, "ignored")
+                    .collect()}
+    assert got[1] == ("a", "b", "ab", 5)
+    assert got[2] == ("ab", "</w>", "ab</w>", 2)
+    assert got[3] == ("ab", "ab</w>", "abab</w>", 2)

@@ -53,7 +53,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "ann_pq_knn",
                    # tier-19 scalar attaches: Benford grand total,
                    # DSIR corpus totals (1-row broadcast aggregates)
-                   "benford_digits", "dsir_weights"}
+                   "benford_digits", "dsir_weights",
+                   # per-round merge decision: one 3-column row
+                   # broadcast-attached to the vocab rewrite
+                   "bpe_merge_train"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
