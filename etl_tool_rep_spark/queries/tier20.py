@@ -163,3 +163,126 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("hour")
             .agg(F.countDistinct("user_id").cast("bigint")
                   .alias("active_users")))
+
+
+_PR_ITERS = 12
+_PR_DAMP = 0.85
+
+
+def _pr_round_sql(k: int) -> str:
+    """One quantized power-iteration round as SQL. Contributions are
+    quantized to INTEGER 1e-12 units (floor(x*1e12+0.5) -> BIGINT)
+    before the per-node sum, so accumulation is exact integer
+    arithmetic — order-independent in any engine, no decimal needed;
+    the double ops around it are written in the same association on
+    both sides."""
+    return f""", c{k} AS (
+      SELECT e.b AS id,
+             CAST(floor(r.r / deg.d * 1e12 + 0.5) AS BIGINT) AS c
+      FROM r{k - 1} r
+      JOIN deg ON deg.a = r.id
+      JOIN edges e ON e.a = r.id
+    ), s{k} AS (
+      SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c{k} GROUP BY id
+    ), r{k} AS (
+      SELECT n.id,
+             floor(({1 - _PR_DAMP:.2f} / nn.n
+                    + {_PR_DAMP} * (coalesce(s.s, 0) / 1e12))
+                   * 1e12 + 0.5) / 1e12 AS r
+      FROM nodes n LEFT JOIN s{k} s ON s.id = n.id, nn
+    )"""
+
+
+_PR_ORACLE = """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                      AND l1.l_suppkey <> l2.l_suppkey
+    ), deg AS MATERIALIZED (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY a
+    ), nodes AS MATERIALIZED (
+      SELECT a AS id FROM deg
+    ), nn AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), r0 AS (
+      SELECT id, floor(1.0 / nn.n * 1e12 + 0.5) / 1e12 AS r
+      FROM nodes, nn
+    )""" + "".join(_pr_round_sql(k)
+                   for k in range(1, _PR_ITERS + 1)) + f"""
+    SELECT CAST(id AS BIGINT) AS id, r AS pr FROM r{_PR_ITERS}
+    """
+
+
+@query("pagerank_exact", oracle=_PR_ORACLE)
+def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({iters} quantized power-iteration rounds, damping
+    {damp}) over the co-supplier graph, hash-matched against a DuckDB
+    oracle that chains the same rounds as CTEs — upgrading PageRank
+    from a rows-only property check (`pagerank`, operators/graph.py)
+    to an EXACT cross-engine oracle, the third iterative operator
+    behind the SQL gate after bfs_distances and
+    dedup_components_exact.
+
+    What makes exactness possible: each round quantizes per-edge
+    contributions to integer 1e-12 units (floor(r/deg * 1e12 + 0.5)
+    as BIGINT) BEFORE summing, so the per-node aggregation — the one
+    step whose float accumulation order differs between a parallel
+    and a serial engine — is exact integer arithmetic. The remaining
+    double ops (the damping update) are identically associated on
+    both sides. Quantization perturbs ranks by < 1e-11 per round
+    relative to unquantized PageRank — noise for ranking purposes,
+    and BOTH engines apply the identical perturbation.
+
+    The co-supplier graph is symmetric, so there are no dangling
+    nodes by construction and the dangling-mass term is identically
+    zero (operators/graph.pagerank keeps the general-graph handling
+    for directed inputs).
+
+    Scale: per round, one (ranks ⋈ deg ⋈ edges) shuffle keyed by the
+    source node and one integer sum keyed by the target — the same
+    volume profile as operators/graph.pagerank; lineage is truncated
+    per round (reliable checkpoint on a real cluster). N arrives as
+    a broadcast 1-row aggregate, never a driver action.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                    & (F.col("x.l_suppkey") != F.col("y.l_suppkey")))
+              .select(F.col("x.l_suppkey").alias("a"),
+                      F.col("y.l_suppkey").alias("b"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("d"))
+    nodes = deg.select(F.col("a").alias("id"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    r = (nodes.crossJoin(F.broadcast(nn))
+              .select("id",
+                      (F.floor(F.lit(1.0) / F.col("_n") * F.lit(1e12)
+                               + F.lit(0.5)) / F.lit(1e12)).alias("r")))
+    for _ in range(_PR_ITERS):
+        c = (r.join(deg, r["id"] == deg["a"])
+              .join(edges.select(F.col("a").alias("_ea"),
+                                 F.col("b").alias("_eb")),
+                    F.col("id") == F.col("_ea"))
+              .select(F.col("_eb").alias("id"),
+                      F.floor(F.col("r") / F.col("d") * F.lit(1e12)
+                              + F.lit(0.5)).cast("bigint").alias("c")))
+        s = c.groupBy("id").agg(F.sum("c").cast("bigint").alias("s"))
+        r = (nodes.join(s, "id", "left")
+                  .crossJoin(F.broadcast(nn))
+                  .select("id",
+                          (F.floor((F.lit(1 - _PR_DAMP) / F.col("_n")
+                                    + F.lit(_PR_DAMP)
+                                    * (F.coalesce(F.col("s"), F.lit(0))
+                                       / F.lit(1e12)))
+                                   * F.lit(1e12) + F.lit(0.5))
+                           / F.lit(1e12)).alias("r"))
+                  .localCheckpoint(eager=True))
+    return r.select(F.col("id").cast("bigint").alias("id"),
+                    F.col("r").alias("pr"))
+
+
+pagerank_exact.__doc__ = pagerank_exact.__doc__.format(
+    iters=_PR_ITERS, damp=_PR_DAMP)

@@ -84,3 +84,21 @@ def test_bpe_merge_train_hand_corpus(spark, monkeypatch):
     assert got[1] == ("a", "b", "ab", 5)
     assert got[2] == ("ab", "</w>", "ab</w>", 2)
     assert got[3] == ("ab", "ab</w>", "abab</w>", 2)
+
+
+def test_pagerank_exact_mass_and_ranking(spark, monkeypatch):
+    # star graph: hub 1 <-> spokes 2,3,4 (symmetric edges via shared
+    # orders). Hub must outrank spokes; total mass stays ~1 under the
+    # 1e-12 quantization (error bound: iters * n * 1e-12).
+    import etl_tool_rep_spark.queries.tier20 as t20
+    rows = []
+    for o, (a, b) in enumerate([(1, 2), (1, 3), (1, 4)]):
+        rows += [(o, a), (o, b)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    monkeypatch.setattr(t20, "load", lambda s, d, n: li)
+    from etl_tool_rep_spark.queries import QUERIES
+    got = {r["id"]: r["pr"] for r in
+           QUERIES["pagerank_exact"](spark, "ignored").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] > got[2] == got[3] == got[4]
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -56,7 +56,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "benford_digits", "dsir_weights",
                    # per-round merge decision: one 3-column row
                    # broadcast-attached to the vocab rewrite
-                   "bpe_merge_train"}
+                   "bpe_merge_train",
+                   # node count attached as a broadcast 1-row
+                   # aggregate each damping round
+                   "pagerank_exact"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
