@@ -1,5 +1,5 @@
-"""Registry tripwires: the driver contract is exactly 214 keys
-(SURVEY.md §2.2 through tier 20), each
+"""Registry tripwires: the driver contract is exactly 218 keys
+(SURVEY.md §2.2 through tier 21), each
 with a callable, every oracle keyed by a registered query. Guards
 against silent shrinkage (a failed tier import used to drop its keys
 without a sound — see queries/__init__.py's import policy)."""
@@ -9,7 +9,7 @@ import sys
 
 from etl_tool_rep_spark.queries import ORACLES, QUERIES
 
-EXPECTED = 214
+EXPECTED = 218
 
 
 def test_registry_counts():
