@@ -1,0 +1,311 @@
+"""Tier 22 — iterative ML loops behind the EXACT oracle gate.
+
+Continues the tier-20/21 program (pagerank_exact, minhash_lsh_exact):
+take an algorithm the engine ships as a rows-only operator because
+float iteration order makes cross-engine equality hopeless, and
+re-express it so every accumulation is exact integer arithmetic —
+then chain the SAME rounds as DuckDB CTEs and demand a full
+rows+schema+value-hash match.
+
+* kmeans_exact — two complete Lloyd iterations (assign + centroid
+  update) over integer-quantized embeddings, vs an oracle that
+  chains assignment/update CTEs.
+* mmr_exact — the full greedy Maximal-Marginal-Relevance selection
+  loop on integer inner products, vs an oracle that chains one CTE
+  per selection round.
+
+Quantization contract (see cross-engine-float-parity rules): inputs
+are snapped to an integer grid with floor(x*Q + 0.5) — float32 ->
+double widening is exact, the floor idiom is engine-identical — and
+every subsequent comparison/sum is BIGINT, so ties and argmins are
+decided identically everywhere. The only doubles are single
+divisions of exact integers (correctly rounded, identical on both
+sides) immediately re-floored to the grid.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+_DIM = 64           # embedding dimensionality (FIXTURES.md)
+_Q = 1000           # quantization grid: |component| <= ~0.58 -> <=578
+
+_KM_K = 8           # clusters
+_KM_ITERS = 2       # full Lloyd rounds behind the gate
+
+_QV_SPARK = (f"transform(embedding, x -> cast(floor(cast(x as double)"
+             f" * {_Q} + 0.5d) as bigint))")
+
+_QV_SQL = (f"list_transform(embedding, x -> CAST(floor("
+           f"CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT))")
+
+
+def _km_round_sql(r: int) -> str:
+    """One Lloyd round as chained CTEs over per-dim centroid rows
+    c{r-1}(cid, dim, c): distance cross-sum -> argmin assignment ->
+    per-(cid, dim) sums -> densified quantized centroid update."""
+    return f""", d{r} AS (
+      SELECT v.vec_id, c.cid,
+             SUM((v.qv[c.dim + 1] - c.c) * (v.qv[c.dim + 1] - c.c))
+                 AS dist
+      FROM qv v CROSS JOIN c{r - 1} c
+      GROUP BY 1, 2
+    ), a{r} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{r})
+      WHERE rn = 1
+    ), s{r} AS (
+      SELECT a.cid, t.i AS dim,
+             CAST(SUM(v.qv[t.i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{r} a
+      JOIN qv v ON v.vec_id = a.vec_id
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS i) t
+      GROUP BY 1, 2
+    ), c{r} AS (
+      SELECT p.cid, p.dim,
+             COALESCE(CAST(floor(CAST(s.s AS DOUBLE) / s.n + 0.5)
+                           AS BIGINT), p.c) AS c
+      FROM c{r - 1} p
+      LEFT JOIN s{r} s ON s.cid = p.cid AND s.dim = p.dim
+    )"""
+
+
+_KM_ORACLE = f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, t.i AS dim, qv[t.i + 1] AS c
+      FROM qv CROSS JOIN (SELECT unnest(range({_DIM})) AS i) t
+      WHERE vec_id < {_KM_K}
+    )""" + "".join(_km_round_sql(r)
+                   for r in range(1, _KM_ITERS + 1)) + f"""
+    SELECT p.cid, CAST(p.dim AS BIGINT) AS dim, p.c AS c_val,
+           COALESCE(nn.n, 0) AS n
+    FROM c{_KM_ITERS} p
+    LEFT JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+               FROM a{_KM_ITERS} GROUP BY 1) nn ON nn.cid = p.cid
+    """
+
+
+@query("kmeans_exact", oracle=_KM_ORACLE)
+def kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COMPLETE Lloyd's k-means iterations behind the exact
+    oracle gate (k={k}, init = the {k} lowest vec_ids): assignment is
+    an integer argmin over quantized squared distances (ties to the
+    lowest centroid id on both engines — array_position's first
+    maximum here, (dist, cid) row_number there), and the centroid
+    update re-snaps each mean to the integer grid with
+    floor(s/n + 0.5) — one correctly-rounded int/int division, no
+    float accumulation anywhere. DuckDB chains the identical rounds
+    as CTEs; output is the final centroid table (cid, dim, c_val)
+    plus final-assignment cluster sizes — 512 integer rows.
+
+    Upgrades the k-means ALGORITHM from the rows-only
+    `kmeans_topics` (operators/kmeans.py keeps the float production
+    path) to full cross-engine certification — the loop, the
+    argmin, the empty-cluster carry-forward, everything.
+
+    Scale: per round, assignment is a narrow map against k x dim
+    BROADCAST LITERAL centroids (the ivf_assign pattern — one parsed
+    SQL literal, no py4j storm, no shuffle), and the update is one
+    posexplode + groupBy(cid, dim) with map-side partial aggregation
+    (k*dim = 512 groups). The only driver traffic is the k x dim
+    integer centroid matrix per round — index metadata, same posture
+    as operators/kmeans.py."""
+    em = load(spark, sf_dir, "embeddings")
+    vecs = (em.select("vec_id", F.expr(_QV_SPARK).alias("qv"))
+              .localCheckpoint(eager=True))
+    init = (vecs.filter(F.col("vec_id") < _KM_K)
+                .orderBy("vec_id").collect())
+    cents = {int(r["vec_id"]): [int(x) for x in r["qv"]]
+             for r in init}
+
+    assigned = None
+    for _ in range(_KM_ITERS):
+        cent_lit = F.expr("array(%s)" % ",".join(
+            "array(%s)" % ",".join(f"{x}L" for x in cents[cid])
+            for cid in sorted(cents)))
+        dists = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v))
+        assigned = vecs.select(
+            "vec_id", "qv",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("bigint").alias("cid"))
+        sums = (assigned
+                .select("cid", F.posexplode("qv").alias("dim", "x"))
+                .groupBy("cid", "dim")
+                .agg(F.sum("x").cast("bigint").alias("s"),
+                     F.count(F.lit(1)).cast("bigint").alias("n"))
+                .collect())
+        new = dict(cents)               # empty cluster keeps its mean
+        for cid in set(int(r["cid"]) for r in sums):
+            new[cid] = list(cents[cid])
+        for r in sums:
+            # same arithmetic as the oracle: one int/int double
+            # division, then the floor idiom back onto the grid
+            new[int(r["cid"])][int(r["dim"])] = int(
+                math.floor(r["s"] / r["n"] + 0.5))
+        cents = new
+
+    final = spark.createDataFrame(
+        [(cid, dim, cents[cid][dim]) for cid in sorted(cents)
+         for dim in range(_DIM)],
+        "cid long, dim long, c_val long")
+    nn = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (final.join(nn, "cid", "left")
+                 .select("cid", "dim", "c_val",
+                         F.coalesce("n", F.lit(0).cast("bigint"))
+                          .alias("n")))
+
+
+kmeans_exact.__doc__ = kmeans_exact.__doc__.format(k=_KM_K)
+
+
+# ---------------------------------------------------------------------------
+# mmr_exact
+# ---------------------------------------------------------------------------
+
+_MMR_NCAND = 24     # candidate pool: vec_id 1..24 (query = vec 0)
+_MMR_SEL = 5        # greedy selection rounds
+_MMR_LAM7 = 7       # lambda = 0.7 carried as integers: 7*rel - 3*div
+_MMR_LAM3 = 3
+
+_MMR_DOT = (f"CAST(list_sum(list_transform(range({_DIM}),"
+            f" i -> a.qv[i + 1] * b.qv[i + 1])) AS BIGINT)")
+
+
+def _mmr_round_sql(r: int) -> str:
+    """One greedy MMR round: score the unselected candidates against
+    the selected set's max inner product, pick the argmax (ties to
+    the lowest vec_id), append to the selection."""
+    return f""", p{r} AS (
+      SELECT rl.vec_id,
+             {_MMR_LAM7} * rl.rel - {_MMR_LAM3} * MAX(d.d) AS score
+      FROM rel rl
+      JOIN div d ON d.j = rl.vec_id
+      JOIN sel{r - 1} s ON s.vec_id = d.k
+      WHERE rl.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+      GROUP BY rl.vec_id, rl.rel
+    ), pick{r} AS (
+      SELECT CAST({r} AS BIGINT) AS rank, vec_id, score
+      FROM p{r} ORDER BY score DESC, vec_id LIMIT 1
+    ), sel{r} AS (
+      SELECT vec_id FROM sel{r - 1}
+      UNION ALL SELECT vec_id FROM pick{r}
+    )"""
+
+
+_MMR_ORACLE = f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+      WHERE vec_id <= {_MMR_NCAND}
+    ), rel AS (
+      SELECT b.vec_id, {_MMR_DOT} AS rel
+      FROM qv a CROSS JOIN qv b
+      WHERE a.vec_id = 0 AND b.vec_id >= 1
+    ), div AS (
+      SELECT a.vec_id AS j, b.vec_id AS k, {_MMR_DOT} AS d
+      FROM qv a CROSS JOIN qv b
+      WHERE a.vec_id >= 1 AND b.vec_id >= 1
+        AND a.vec_id <> b.vec_id
+    ), pick1 AS (
+      SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+             {_MMR_LAM7} * rel AS score
+      FROM rel ORDER BY score DESC, vec_id LIMIT 1
+    ), sel1 AS (
+      SELECT vec_id FROM pick1
+    )""" + "".join(_mmr_round_sql(r)
+                   for r in range(2, _MMR_SEL + 1)) + f"""
+    SELECT * FROM pick1
+    {"".join(f" UNION ALL SELECT * FROM pick{r}"
+             for r in range(2, _MMR_SEL + 1))}
+    """
+
+
+@query("mmr_exact", oracle=_MMR_ORACLE)
+def mmr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL greedy Maximal-Marginal-Relevance loop behind the
+    exact oracle gate: query = vec 0, candidates = vecs 1..{nc},
+    {ns} selection rounds of argmax(7*rel - 3*max-div-to-selected)
+    over integer inner products of grid-quantized embeddings, ties
+    to the lowest vec_id. DuckDB chains one CTE per round; the
+    emitted (rank, vec_id, score) triples must match hash-exactly —
+    certifying the greedy argmax, the max-diversity fold, and the
+    tie policy, which the rows-only `mmr_rerank`
+    (operators/knn.py:235, float cosines) cannot.
+
+    Integer contract: inner products of quantized components are
+    BIGINT (<= 64 * 578^2 ~ 2.1e7); lambda = 0.7 is carried as the
+    integer pair (7, 3) so scores never touch a float.
+
+    Scale: MMR is a RERANK op — the candidate pool is bounded per
+    query by construction (here {nc}; production reranks <= 100 per
+    query inside applyInPandas groups). The per-round argmax ships
+    ONE row to the driver to gate the next round, the same
+    bounded-decision pattern as `bpe_merge_train`; rel/div frames
+    are candidate-pool-sized and localCheckpointed once."""
+    em = load(spark, sf_dir, "embeddings")
+    vecs = (em.filter(F.col("vec_id") <= _MMR_NCAND)
+              .select("vec_id", F.expr(_QV_SPARK).alias("qv")))
+    [q0] = vecs.filter(F.col("vec_id") == 0).collect()
+    q0_lit = F.expr("array(%s)" % ",".join(f"{int(x)}L"
+                                           for x in q0["qv"]))
+
+    def _dot(other):
+        return F.aggregate(
+            F.zip_with("qv", other, lambda x, y: x * y),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+    cand = vecs.filter(F.col("vec_id") >= 1)
+    rel = (cand.select("vec_id", _dot(q0_lit).alias("rel"))
+               .localCheckpoint(eager=True))
+    a, b = cand.alias("a"), cand.alias("b")
+    div = (a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("j"),
+                    F.col("b.vec_id").alias("k"),
+                    F.aggregate(
+                        F.zip_with("a.qv", "b.qv",
+                                   lambda x, y: x * y),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, v: acc + v).alias("d"))
+            .localCheckpoint(eager=True))
+
+    sel: list[int] = []
+    picks: list[tuple[int, int, int]] = []
+    for r in range(1, _MMR_SEL + 1):
+        if r == 1:
+            scores = rel.select(
+                "vec_id", (F.lit(_MMR_LAM7) * F.col("rel"))
+                .alias("score"))
+        else:
+            scores = (div.filter(F.col("k").isin(sel)
+                                 & ~F.col("j").isin(sel))
+                         .groupBy("j").agg(F.max("d").alias("md"))
+                         .join(rel, F.col("j") == F.col("vec_id"))
+                         .select("vec_id",
+                                 (F.lit(_MMR_LAM7) * F.col("rel")
+                                  - F.lit(_MMR_LAM3) * F.col("md"))
+                                 .alias("score")))
+        top = scores.orderBy(F.desc("score"), "vec_id").first()
+        sel.append(int(top["vec_id"]))
+        picks.append((r, int(top["vec_id"]), int(top["score"])))
+    return spark.createDataFrame(picks,
+                                 "rank long, vec_id long, score long")
+
+
+mmr_exact.__doc__ = mmr_exact.__doc__.format(nc=_MMR_NCAND,
+                                             ns=_MMR_SEL)
