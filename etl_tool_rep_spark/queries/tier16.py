@@ -205,3 +205,45 @@ def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("_s")))
     return final.select("user_id", F.col("_s.n_events").alias("n_events"),
                         F.col("_s.total_cents").alias("total_cents"))
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, p.user_total
+    FROM events e
+    JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_total
+          FROM events GROUP BY user_id) p
+      ON p.user_id = e.user_id
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join behind the gate — the sixth streaming
+    execution path, and the most common production shape of all
+    (event stream enriched against a slowly-changing dimension /
+    profile table). The static side here is a batch per-user profile
+    aggregate; the stream side joins it with a broadcast hint, so
+    each micro-batch is a map-side hash join with NO streaming state
+    at all — no watermark required, nothing ages, the join is
+    stateless by construction (the static side is re-resolvable per
+    batch). The appended output must equal the plain batch join.
+
+    Scale: THE pattern for 100-TB enrichment — dimension broadcast
+    to every executor once per batch, stream partitions never
+    shuffle. A mutable dimension swaps the parquet read for a Delta
+    snapshot; the plan is unchanged."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    staged = _staged_events_dir(spark, sf_dir)
+    stream = read_event_stream(spark, staged, fmt="parquet")
+    static = (spark.read.parquet(
+                  _os.path.join(sf_dir, "events.parquet"))
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("user_total")))
+    joined = (stream.select("event_id", "user_id")
+                    .join(F.broadcast(static), "user_id"))
+    return run_available_now(joined, "q_streaming_static_enrich",
+                             output_mode="append")

@@ -1,5 +1,5 @@
-"""Registry tripwires: the driver contract is exactly 220 keys
-(SURVEY.md §2.2 through tier 22), each
+"""Registry tripwires: the driver contract is exactly 222 keys
+(SURVEY.md §2.2 through tier 23), each
 with a callable, every oracle keyed by a registered query. Guards
 against silent shrinkage (a failed tier import used to drop its keys
 without a sound — see queries/__init__.py's import policy)."""
@@ -9,7 +9,7 @@ import sys
 
 from etl_tool_rep_spark.queries import ORACLES, QUERIES
 
-EXPECTED = 220
+EXPECTED = 222
 
 
 def test_registry_counts():
