@@ -505,3 +505,144 @@ def simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "sig",
                         F.coalesce("n_near", F.lit(0).cast("bigint"))
                          .alias("n_near")))
+
+
+# ---------------------------------------------------------------------------
+# hyperplane_lsh_exact
+# ---------------------------------------------------------------------------
+
+# Rademacher hyperplanes (+/-1 components): drawn AFTER every other
+# constant above so adding them never perturbs the earlier literals.
+_HP_BITS = 32                             # signature bits
+_HP_BANDS, _HP_BANDW = 4, 8               # 4 bands x 8 bits
+_HP = [[1 if _rng.random() < 0.5 else -1 for _ in range(64)]
+       for _ in range(_HP_BITS)]
+_HPQ = 1000                               # embedding grid (tier-22)
+
+_HP_QV_SQL = (f"list_transform(embedding, x -> CAST(floor("
+              f"CAST(x AS DOUBLE) * {_HPQ} + 0.5) AS BIGINT))")
+_HP_QV_SPARK = (f"transform(embedding, x -> cast(floor("
+                f"cast(x as double) * {_HPQ} + 0.5d) as bigint))")
+
+_HP_SIG_SQL = " + ".join(
+    f"(CASE WHEN ({' + '.join(f'qv[{i + 1}] * ({c})' for i, c in enumerate(h) if c != 0)}) > 0"
+    f" THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+    for k, h in enumerate(_HP))
+
+
+_HP_ORACLE = f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, {_HP_QV_SQL} AS qv FROM embeddings
+    ), sig AS MATERIALIZED (
+      SELECT vec_id, qv,
+             {_HP_SIG_SQL} AS sig,
+             list_reduce(list_transform(qv, x -> x * x),
+                         (a, b) -> a + b) AS n2
+      FROM qv
+    ), bands AS (
+      SELECT vec_id, t.b AS band,
+             (sig >> ({_HP_BANDW} * t.b)) % {1 << _HP_BANDW} AS bv
+      FROM sig, (SELECT unnest(range({_HP_BANDS})) AS b) t
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                  AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT c.id_1, c.id_2,
+             list_reduce(list_transform(range(64),
+               i -> sa.qv[i + 1] * sb.qv[i + 1]),
+               (a, b) -> a + b) AS dt,
+             sa.n2 AS na2, sb.n2 AS nb2
+      FROM cand c
+      JOIN sig sa ON sa.vec_id = c.id_1
+      JOIN sig sb ON sb.vec_id = c.id_2
+    ), ver AS (
+      SELECT id_1, id_2 FROM scored
+      WHERE dt > 0 AND 25 * dt * dt >= 4 * na2 * nb2
+    ), deg AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_near
+      FROM (SELECT id_1 AS vec_id FROM ver
+            UNION ALL SELECT id_2 FROM ver)
+      GROUP BY 1
+    )
+    SELECT s.vec_id, s.sig, COALESCE(d.n_near, 0) AS n_near
+    FROM sig s LEFT JOIN deg d ON d.vec_id = s.vec_id
+    """
+
+
+@query("hyperplane_lsh_exact", oracle=_HP_ORACLE)
+def hyperplane_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane (sign-random-projection) LSH behind the exact
+    oracle gate — completing the LSH family after minhash/simhash: a
+    32-bit signature from the signs of integer dot products with 32
+    seeded Rademacher (+/-1) hyperplanes over grid-quantized
+    embeddings, banded 4x8; bucket-cofalling pairs are verified with
+    the PURE-INTEGER cosine test  dt>0 AND 25*dt^2 >= 4*|a|^2*|b|^2
+    (exactly cos >= 0.4 — the threshold squared is 4/25, so no sqrt
+    and no float ever enters). Output is one row per vector with its
+    signature and verified-neighbor count — linear however clustered
+    the embeddings are (the simhash_exact posture).
+
+    The production `lsh_near_dup` (operators/knn.py) keeps the
+    float-kernel variant with its recall tests; this key certifies
+    the sign/band/verify semantics cross-engine bit-for-bit.
+
+    Scale: signatures are one narrow map (a 32x64 +/-1 literal
+    matrix folded JVM-side); the self-join shuffles 4 small rows per
+    vector; verification is candidate-bounded. Band width trades
+    candidate volume against recall exactly as in the production
+    operator — at 100 TB you widen bands (more bits) to keep buckets
+    near-constant."""
+    em = load(spark, sf_dir, "embeddings")
+    base = em.select("vec_id", F.expr(_HP_QV_SPARK).alias("qv"))
+
+    def _hdot(h):
+        lit = "array(%s)" % ",".join(f"{c}L" for c in h)
+        return F.expr(
+            f"aggregate(zip_with(qv, {lit}, (x, y) -> x * y),"
+            " cast(0 as bigint), (a, b) -> a + b)")
+
+    sig_col = None
+    for k, h in enumerate(_HP):
+        term = F.when(_hdot(h) > 0,
+                      F.lit(1 << k).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+        sig_col = term if sig_col is None else sig_col + term
+    n2 = F.expr("aggregate(transform(qv, x -> x * x),"
+                " cast(0 as bigint), (a, b) -> a + b)")
+    sigs = (base.select("vec_id", "qv", sig_col.alias("sig"),
+                        n2.alias("n2"))
+                .localCheckpoint(eager=True))
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            F.expr(f"(sig div {1 << (_b * _HP_BANDW)})"
+                   f" % {1 << _HP_BANDW}")
+            for _b in range(_HP_BANDS)])).alias("band", "bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "bv"])
+             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("id_1"),
+                     F.col("b.vec_id").alias("id_2"))
+             .distinct())
+    sa = sigs.select(F.col("vec_id").alias("id_1"),
+                     F.col("qv").alias("_qa"), F.col("n2").alias("na2"))
+    sb = sigs.select(F.col("vec_id").alias("id_2"),
+                     F.col("qv").alias("_qb"), F.col("n2").alias("nb2"))
+    dt = F.expr("aggregate(zip_with(_qa, _qb, (x, y) -> x * y),"
+                " cast(0 as bigint), (a, b) -> a + b)")
+    ver = (cand.join(sa, "id_1").join(sb, "id_2")
+               .withColumn("dt", dt)
+               .filter((F.col("dt") > 0)
+                       & (F.lit(25) * F.col("dt") * F.col("dt")
+                          >= F.lit(4) * F.col("na2") * F.col("nb2")))
+               .select("id_1", "id_2"))
+    deg = (ver.select(F.col("id_1").alias("vec_id"))
+              .unionAll(ver.select(F.col("id_2").alias("vec_id")))
+              .groupBy("vec_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_near")))
+    return (sigs.join(deg, "vec_id", "left")
+                .select("vec_id", "sig",
+                        F.coalesce("n_near", F.lit(0).cast("bigint"))
+                         .alias("n_near")))

@@ -101,3 +101,22 @@ def test_simhash_identical_word_sets_are_neighbors(spark,
     assert got[1]["n_near"] >= 1 and got[2]["n_near"] >= 1
     if got[3]["sig"] != got[1]["sig"]:         # hash-dependent, true
         assert got[3]["n_near"] == 0           # for these literals
+
+
+def test_hyperplane_identical_vectors_are_neighbors(spark,
+                                                    monkeypatch):
+    base = [0.1 * ((i % 7) - 3) for i in range(64)]
+    opp = [-x for x in base]
+    vecs = [(1, base, 0), (2, list(base), 0), (9, opp, 0)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(t21, "load", lambda s, d, n: emb)
+    got = {r["vec_id"]: r for r in
+           QUERIES["hyperplane_lsh_exact"](spark, "x").collect()}
+    # identical vectors: identical signatures, mutual neighbors
+    assert got[1]["sig"] == got[2]["sig"]
+    assert got[1]["n_near"] >= 1 and got[2]["n_near"] >= 1
+    # the antipodal vector flips every nonzero-dot sign: different
+    # signature and cos = -1 can never verify
+    assert got[9]["sig"] != got[1]["sig"]
+    assert got[9]["n_near"] == 0
