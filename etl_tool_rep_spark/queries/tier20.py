@@ -251,21 +251,25 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("x.l_suppkey") != F.col("y.l_suppkey")))
               .select(F.col("x.l_suppkey").alias("a"),
                       F.col("y.l_suppkey").alias("b"))
-              .distinct()
-              .localCheckpoint(eager=True))
+              .distinct())
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("bigint")
                                   .alias("d"))
-    nodes = deg.select(F.col("a").alias("id"))
+    # fold the (static) out-degree into the edge list ONCE — each
+    # damping round then needs a single join against ranks instead of
+    # rank ⋈ deg ⋈ edges (12 joins saved across the loop; identical
+    # arithmetic, the oracle is unchanged)
+    edges_w = (edges.join(deg, "a")
+                    .select(F.col("a").alias("_ea"),
+                            F.col("b").alias("_eb"), "d")
+                    .localCheckpoint(eager=True))
+    nodes = deg.select(F.col("a").alias("id")).localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     r = (nodes.crossJoin(F.broadcast(nn))
               .select("id",
                       (F.floor(F.lit(1.0) / F.col("_n") * F.lit(1e12)
                                + F.lit(0.5)) / F.lit(1e12)).alias("r")))
     for _ in range(_PR_ITERS):
-        c = (r.join(deg, r["id"] == deg["a"])
-              .join(edges.select(F.col("a").alias("_ea"),
-                                 F.col("b").alias("_eb")),
-                    F.col("id") == F.col("_ea"))
+        c = (r.join(edges_w, F.col("id") == F.col("_ea"))
               .select(F.col("_eb").alias("id"),
                       F.floor(F.col("r") / F.col("d") * F.lit(1e12)
                               + F.lit(0.5)).cast("bigint").alias("c")))

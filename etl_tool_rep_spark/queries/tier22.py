@@ -309,3 +309,108 @@ def mmr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 mmr_exact.__doc__ = mmr_exact.__doc__.format(nc=_MMR_NCAND,
                                              ns=_MMR_SEL)
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_exact
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8       # subspaces
+_PQ_D = 8       # dims per subspace (M * D = _DIM)
+_PQ_K = 16      # codes per subspace: codebook = subvectors of vecs 0..15
+_PQ_TOPN = 10
+
+
+_PQ_ORACLE = f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ), cb AS (
+      SELECT t.s, v.vec_id AS c, d.d,
+             v.qv[{_PQ_D} * t.s + d.d] AS val
+      FROM qv v
+      CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) t
+      CROSS JOIN (SELECT unnest(range(1, {_PQ_D} + 1)) AS d) d
+      WHERE v.vec_id < {_PQ_K}
+    ), sd AS (
+      SELECT v.vec_id, b.s, b.c,
+             SUM((v.qv[{_PQ_D} * b.s + b.d] - b.val)
+                 * (v.qv[{_PQ_D} * b.s + b.d] - b.val)) AS dist
+      FROM qv v CROSS JOIN cb b
+      GROUP BY 1, 2, 3
+    ), enc AS (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, c) AS rn
+        FROM sd)
+      WHERE rn = 1
+    ), adc AS (
+      SELECT e.vec_id, CAST(SUM(q.dist) AS BIGINT) AS adc_dist
+      FROM enc e
+      JOIN (SELECT s, c, dist FROM sd WHERE vec_id = 0) q
+        ON q.s = e.s AND q.c = e.c
+      GROUP BY 1
+    )
+    SELECT vec_id, adc_dist FROM adc
+    WHERE vec_id <> 0
+    ORDER BY adc_dist, vec_id LIMIT {_PQ_TOPN}
+    """
+
+
+@query("ann_pq_exact", oracle=_PQ_ORACLE)
+def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN behind the exact oracle gate: 8
+    subspaces x 8 dims, 16-code codebooks taken from the subvectors
+    of vecs 0..15 (fixed, training-free — tier-22's kmeans_exact
+    already certifies the training loop separately), every vector
+    PQ-ENCODED by integer argmin per subspace (ties to the lowest
+    code), and the query's top-{n} retrieved by Asymmetric Distance
+    Computation — summing the query's precomputed integer
+    subdistances at each vector's codes. Every distance is BIGINT;
+    the (adc, vec_id) order is total, so the top-{n} set and order
+    are engine-identical. Upgrades the PQ ALGORITHM from the
+    recall-tested `ann_pq_knn` (operators/pq.py keeps the float
+    production path) to full cross-engine certification.
+
+    Scale: the Spark side never materializes the N x (s, c) distance
+    relation the oracle uses — encoding is a NARROW MAP against
+    M*K*D = 1024 literal ints (the ivf_assign one-parsed-literal
+    pattern), the ADC lookup is element_at into an M x K literal
+    table, and the only ordering is a global sort-limit (TakeOrdered,
+    no window). Driver traffic: the 17 codebook/query rows, once."""
+    em = load(spark, sf_dir, "embeddings")
+    vecs = em.select("vec_id", F.expr(_QV_SPARK).alias("qv"))
+    head = {int(r["vec_id"]): [int(x) for x in r["qv"]]
+            for r in vecs.filter(F.col("vec_id") < _PQ_K).collect()}
+    if len(head) < _PQ_K:
+        raise ValueError("ann_pq_exact: need vec_ids 0..%d present"
+                         % (_PQ_K - 1))
+    # codebook[s][c] = 8-dim int subvector; query table tq[s][c] =
+    # integer subdistance of the query (vec 0) to that code — exact
+    # int arithmetic, mirrors the oracle's sd rows for vec_id = 0
+    cbs = [[head[c][_PQ_D * s:_PQ_D * (s + 1)]
+            for c in range(_PQ_K)] for s in range(_PQ_M)]
+    q0 = head[0]
+    tq = [[sum((q0[_PQ_D * s + d] - cbs[s][c][d]) ** 2
+               for d in range(_PQ_D))
+           for c in range(_PQ_K)] for s in range(_PQ_M)]
+
+    adc = None
+    for s in range(_PQ_M):
+        cb_lit = "array(%s)" % ",".join(
+            "array(%s)" % ",".join(f"{x}L" for x in cbs[s][c])
+            for c in range(_PQ_K))
+        sub = F.expr(
+            f"transform({cb_lit}, cw -> aggregate("
+            f" zip_with(slice(qv, {_PQ_D * s + 1}, {_PQ_D}), cw,"
+            "  (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (a, b) -> a + b))")
+        code = (F.array_position(sub, F.array_min(sub))).cast("int")
+        tq_lit = F.expr("array(%s)" % ",".join(
+            f"{x}L" for x in tq[s]))
+        term = F.element_at(tq_lit, code)
+        adc = term if adc is None else adc + term
+    return (vecs.select("vec_id", adc.cast("bigint").alias("adc_dist"))
+                .filter(F.col("vec_id") != 0)
+                .orderBy("adc_dist", "vec_id")
+                .limit(_PQ_TOPN))

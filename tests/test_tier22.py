@@ -118,3 +118,39 @@ def test_mmr_matches_python_model(spark, monkeypatch):
     model = _mmr_model(_quant(vecs))
     assert [(r["rank"], r["vec_id"], r["score"]) for r in got] == model
     assert len({r["vec_id"] for r in got}) == t22._MMR_SEL
+
+
+def _pq_model(qvs):
+    """Independent PQ encode + ADC model."""
+    M, D, K = t22._PQ_M, t22._PQ_D, t22._PQ_K
+    cbs = [[qvs[c][D * s:D * (s + 1)] for c in range(K)]
+           for s in range(M)]
+
+    def sub(v, s, c):
+        return sum((v[D * s + d] - cbs[s][c][d]) ** 2
+                   for d in range(D))
+
+    out = []
+    for vid, v in enumerate(qvs):
+        if vid == 0:
+            continue
+        adc = 0
+        for s in range(M):
+            best = min((sub(v, s, c), c) for c in range(K))
+            adc += sub(qvs[0], s, best[1])
+        out.append((adc, vid))
+    out.sort()
+    return [(vid, adc) for adc, vid in out[:t22._PQ_TOPN]]
+
+
+def test_ann_pq_matches_python_model(spark, monkeypatch):
+    import random
+    rng = random.Random(77)
+    vecs = [[round(rng.uniform(-0.5, 0.5), 3) for _ in range(t22._DIM)]
+            for _ in range(40)]
+    rows = list(enumerate(vecs))
+    monkeypatch.setattr(t22, "load", lambda s, d, n: _emb(spark, rows))
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           QUERIES["ann_pq_exact"](spark, "x").collect()]
+    assert got == _pq_model(_quant(vecs))
+    assert len(got) == t22._PQ_TOPN
