@@ -414,3 +414,109 @@ def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("vec_id") != 0)
                 .orderBy("adc_dist", "vec_id")
                 .limit(_PQ_TOPN))
+
+
+# ---------------------------------------------------------------------------
+# ivf_probe_exact
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8      # cells (centroids = vecs 0..7, training-free)
+_IVF_NPROBE = 2
+_IVF_TOPN = 10
+
+_IVF_DIST = ("list_reduce(list_transform(range({dim}),"
+             " i -> ({a}[i + 1] - {b}[i + 1])"
+             " * ({a}[i + 1] - {b}[i + 1])), (x, y) -> x + y)")
+
+
+_IVF_ORACLE = f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id < {_IVF_K}
+    ), q AS (
+      SELECT qv AS qq FROM qv WHERE vec_id = 0
+    ), asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_IVF_DIST.format(dim=_DIM, a='v.qv', b='c.cv')},
+                 c.cid) AS rn
+        FROM qv v CROSS JOIN cents c)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY
+                 {_IVF_DIST.format(dim=_DIM, a='q.qq', b='c.cv')},
+                 c.cid) AS rn
+        FROM cents c CROSS JOIN q)
+      WHERE rn <= {_IVF_NPROBE}
+    )
+    SELECT v.vec_id,
+           CAST({_IVF_DIST.format(dim=_DIM, a='v.qv', b='q.qq')}
+                AS BIGINT) AS dist,
+           a.cid
+    FROM qv v
+    JOIN asg a ON a.vec_id = v.vec_id
+    JOIN probes p ON p.cid = a.cid
+    CROSS JOIN q
+    WHERE v.vec_id <> 0
+    ORDER BY dist, v.vec_id LIMIT {_IVF_TOPN}
+    """
+
+
+@query("ivf_probe_exact", oracle=_IVF_ORACLE)
+def ivf_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF-ANN search path behind the exact oracle gate:
+    every vector is assigned to its nearest of {k} cells by integer
+    argmin (ties to the lowest cell id), the query probes its
+    {np} nearest cells, and the top-{n} neighbors come from an EXACT
+    integer distance scan over only the probed cells — assignment,
+    cell pruning and refinement all hash-certified (the rows-only
+    `ann_ivf_knn` keeps the float production operator with its
+    recall-floor tests, operators/knn.py).
+
+    Scale: assignment is the ivf_assign broadcast-literal narrow map
+    (no shuffle); the probe set is decided from k centroid rows of
+    driver metadata; the refine scan touches ~nprobe/k of the corpus
+    via a partition-prunable cid filter and ends in TakeOrdered —
+    no window, no all-pairs."""
+    em = load(spark, sf_dir, "embeddings")
+    vecs = em.select("vec_id", F.expr(_QV_SPARK).alias("qv"))
+    head = {int(r["vec_id"]): [int(x) for x in r["qv"]]
+            for r in vecs.filter(F.col("vec_id") < _IVF_K).collect()}
+    if 0 not in head or len(head) < _IVF_K:
+        raise ValueError("ivf_probe_exact: need vec_ids 0..%d"
+                         % (_IVF_K - 1))
+    q0 = head[0]
+
+    def _d(u, v):
+        return sum((a - b) * (a - b) for a, b in zip(u, v))
+
+    # probe cells: same integer arithmetic + (dist, cid) tie rule as
+    # the oracle's 8-row window — driver-side index metadata
+    probes = [cid for _, cid in sorted(
+        (_d(q0, head[c]), c) for c in range(_IVF_K))[:_IVF_NPROBE]]
+
+    cent_lit = F.expr("array(%s)" % ",".join(
+        "array(%s)" % ",".join(f"{x}L" for x in head[c])
+        for c in range(_IVF_K)))
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v))
+    q_lit = F.expr("array(%s)" % ",".join(f"{x}L" for x in q0))
+    qdist = F.aggregate(
+        F.zip_with("qv", q_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return (vecs
+            .withColumn("cid", (F.array_position(dists,
+                                                 F.array_min(dists))
+                                - 1).cast("bigint"))
+            .filter(F.col("cid").isin([int(p) for p in probes])
+                    & (F.col("vec_id") != 0))
+            .select("vec_id", qdist.alias("dist"), "cid")
+            .orderBy("dist", "vec_id")
+            .limit(_IVF_TOPN))

@@ -154,3 +154,32 @@ def test_ann_pq_matches_python_model(spark, monkeypatch):
            QUERIES["ann_pq_exact"](spark, "x").collect()]
     assert got == _pq_model(_quant(vecs))
     assert len(got) == t22._PQ_TOPN
+
+
+def _ivf_model(qvs):
+    """Independent IVF assign/probe/refine model."""
+    K, NP, TN = t22._IVF_K, t22._IVF_NPROBE, t22._IVF_TOPN
+
+    def d(u, v):
+        return sum((a - b) * (a - b) for a, b in zip(u, v))
+
+    asg = {vid: min((d(v, qvs[c]), c) for c in range(K))[1]
+           for vid, v in enumerate(qvs)}
+    probes = [c for _, c in sorted((d(qvs[0], qvs[c]), c)
+                                   for c in range(K))[:NP]]
+    hits = sorted((d(qvs[0], v), vid, asg[vid])
+                  for vid, v in enumerate(qvs)
+                  if vid != 0 and asg[vid] in probes)[:TN]
+    return [(vid, dist, cid) for dist, vid, cid in hits]
+
+
+def test_ivf_probe_matches_python_model(spark, monkeypatch):
+    import random
+    rng = random.Random(99)
+    vecs = [[round(rng.uniform(-0.5, 0.5), 3) for _ in range(t22._DIM)]
+            for _ in range(50)]
+    rows = list(enumerate(vecs))
+    monkeypatch.setattr(t22, "load", lambda s, d, n: _emb(spark, rows))
+    got = [(r["vec_id"], r["dist"], r["cid"]) for r in
+           QUERIES["ivf_probe_exact"](spark, "x").collect()]
+    assert got == _ivf_model(_quant(vecs))
