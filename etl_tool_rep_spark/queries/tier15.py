@@ -333,3 +333,101 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tops[1:]:
         out = out.unionByName(t)
     return out
+
+
+_BPE_ENCODE_ORACLE = r"""
+    WITH dwords AS (
+      SELECT doc_id, unnest(str_split_regex(text, '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), words AS (
+      SELECT w FROM dwords
+    ), v0 AS (
+      SELECT regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS seq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM words GROUP BY 1
+    )""" + "".join(_bpe_round_sql(k) for k in (1, 2, 3)) + r""", enc0 AS (
+      SELECT DISTINCT w,
+             regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS seq
+      FROM dwords
+    )""" + "".join(f""", enc{k} AS (
+      SELECT w, trim(replace(replace(
+               ' ' || replace(seq, ' ', '  ') || ' ',
+               ' ' || t.a || '  ' || t.b || ' ',
+               ' ' || t.a || t.b || ' '),
+             '  ', ' ')) AS seq
+      FROM enc{k - 1}, t{k} t
+    )""" for k in (1, 2, 3)) + """
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(str_split(e.seq, ' '))) AS BIGINT)
+               AS n_bpe_tokens
+    FROM dwords d JOIN enc3 e ON e.w = d.w
+    GROUP BY 1
+    """
+
+
+@query("bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the BPE tokenizer loop: train the same 3
+    merges as `bpe_merge_train` (identical loop, identical argmax
+    total order), then ENCODE every document with them — each
+    distinct word's character sequence is rewritten by the learned
+    merges in order (the literal space-doubled replace, no regex),
+    and each document reports its word count and resulting BPE token
+    count. Train on the vocabulary, encode via the vocabulary, join
+    back to the corpus — exactly how production tokenizers amortize
+    (encode cost is per DISTINCT word, not per occurrence).
+
+    The oracle chains training AND encoding as CTEs; output is pure
+    integers. Together with `bpe_merge_train` this certifies the
+    full train->apply tokenizer loop cross-engine.
+
+    Scale: the corpus-sized passes are the word explode and the
+    final (doc_id) re-aggregation — both map-side combinable. The
+    merge rewrites touch only |vocab| rows per round with the 1-row
+    merge decision broadcast in-plan; nothing quadratic, no Python.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dwords = d.select("doc_id",
+                      F.explode(F.split(F.col("text"), r"\s+"))
+                       .alias("w"))
+    seq0 = F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "),
+                    F.lit("</w>"))
+    v = (dwords.groupBy(seq0.alias("seq"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    pairs_expr = F.expr("""
+        arrays_zip(slice(split(seq, ' '), 1, size(split(seq, ' ')) - 1),
+                   slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1))
+    """)
+    enc = dwords.select("w").distinct().withColumn("seq", seq0)
+    for _ in (1, 2, 3):
+        pr = (v.select("cnt", F.explode(pairs_expr).alias("p"))
+               .groupBy(F.col("p").getField("0").alias("a"),
+                        F.col("p").getField("1").alias("b"))
+               .agg(F.sum("cnt").cast("bigint").alias("c")))
+        top = (pr.orderBy(F.col("c").desc(), F.col("a").asc(),
+                          F.col("b").asc())
+                 .limit(1).select("a", "b")
+                 .localCheckpoint(eager=True))
+
+        def _rewrite(frame):
+            padded = F.concat(F.lit(" "),
+                              F.replace(F.col("seq"), F.lit(" "),
+                                        F.lit("  ")),
+                              F.lit(" "))
+            pat = F.concat(F.lit(" "), F.col("a"), F.lit("  "),
+                           F.col("b"), F.lit(" "))
+            rep = F.concat(F.lit(" "), F.col("a"), F.col("b"),
+                           F.lit(" "))
+            rewritten = F.trim(F.replace(F.replace(padded, pat, rep),
+                                         F.lit("  "), F.lit(" ")))
+            keep = [c for c in frame.columns if c != "seq"]
+            return (frame.crossJoin(F.broadcast(top))
+                         .select(*keep, rewritten.alias("seq")))
+
+        v = _rewrite(v).localCheckpoint(eager=False)
+        enc = _rewrite(enc).localCheckpoint(eager=False)
+    return (dwords.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum(F.size(F.split(F.col("seq"), " ")))
+                  .cast("bigint").alias("n_bpe_tokens")))
