@@ -290,3 +290,111 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 pagerank_exact.__doc__ = pagerank_exact.__doc__.format(
     iters=_PR_ITERS, damp=_PR_DAMP)
+
+
+_BF_ROUNDS = 6
+_BF_INF = 1 << 60
+
+
+def _bf_round_sql(k: int) -> str:
+    """One Bellman-Ford relaxation as SQL: dist_k(v) = min(dist_{k-1}(v),
+    min over in-edges (dist_{k-1}(u) + w(u,v))). Pure integer min-plus
+    — no quantization needed, the algebra is exact by construction."""
+    return f""", bf{k} AS (
+      SELECT n.id,
+             LEAST(n.d, COALESCE(MIN(p.d + e.w), {_BF_INF})) AS d
+      FROM bf{k - 1} n
+      LEFT JOIN wedges e ON e.b = n.id
+      LEFT JOIN bf{k - 1} p ON p.id = e.a AND p.d < {_BF_INF}
+      GROUP BY n.id, n.d
+    )"""
+
+
+_BF_ORACLE = f"""
+    WITH li4 AS MATERIALIZED (
+      -- deterministic 1/4 order sample: bounds the O(k^2) per-order
+      -- edge expansion identically on both engines
+      SELECT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_orderkey % 4 = 0
+    ), wedges AS MATERIALIZED (
+      SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+             CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS w
+      FROM li4 l1
+      JOIN li4 l2 ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_suppkey <> l2.l_suppkey
+      GROUP BY 1, 2
+    ), src AS (
+      SELECT CAST(MIN(l_suppkey) AS BIGINT) AS s FROM li4
+    ), bf0 AS (
+      SELECT n.id,
+             CASE WHEN n.id = src.s THEN CAST(0 AS BIGINT)
+                  ELSE CAST({_BF_INF} AS BIGINT) END AS d
+      FROM (SELECT DISTINCT a AS id FROM wedges) n, src
+    )""" + "".join(_bf_round_sql(k)
+                   for k in range(1, _BF_ROUNDS + 1)) + f"""
+    SELECT id, d AS dist FROM bf{_BF_ROUNDS} WHERE d < {_BF_INF}
+    """
+
+
+@query("bellman_ford_exact", oracle=_BF_ORACLE)
+def bellman_ford_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths ({rounds} Bellman-Ford
+    relaxation rounds) over the co-supplier graph — edge weight =
+    number of shared orders, source = the lowest supplier id —
+    hash-matched against a DuckDB oracle chaining one relaxation CTE
+    per round. Completes the graph-loop family behind the exact gate
+    (bfs_distances = unweighted hops via RECURSIVE CTE;
+    pagerank_exact = damped power iteration; this = min-plus over
+    integer weights, which is EXACT with no quantization at all —
+    the tropical semiring has no rounding).
+
+    Spark side: classic iterative relaxation — each round joins the
+    current distance frame to the weighted edge list and takes the
+    elementwise min. Lineage truncated per round (localCheckpoint
+    locally; reliable checkpoint on a cluster — operators/graph.py
+    discussion applies). Unreachable-within-{rounds} nodes carry the
+    INF sentinel internally and are filtered at the end on BOTH
+    engines.
+
+    Scale: per round one shuffle keyed by edge target + one min
+    aggregate — identical volume profile to pagerank_exact; the
+    frontier optimization in bfs_distances applies here too when
+    weights are uniform, but general Bellman-Ford must relax all
+    edges (negative-cycle-free by construction: weights >= 1)."""
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey")
+          .filter(F.col("l_orderkey") % 4 == 0))
+    x, y = li.alias("x"), li.alias("y")
+    wedges = (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                     & (F.col("x.l_suppkey") != F.col("y.l_suppkey")))
+               .groupBy(F.col("x.l_suppkey").alias("a"),
+                        F.col("y.l_suppkey").alias("b"))
+               .agg(F.countDistinct("x.l_orderkey").cast("bigint")
+                     .alias("w"))
+               .localCheckpoint(eager=True))
+    src = li.agg(F.min("l_suppkey").cast("bigint").alias("s")) \
+            .collect()[0]["s"]
+    d = (wedges.select(F.col("a").alias("id")).distinct()
+         .select("id",
+                 F.when(F.col("id") == src, F.lit(0).cast("bigint"))
+                  .otherwise(F.lit(_BF_INF).cast("bigint")).alias("d")))
+    for _ in range(_BF_ROUNDS):
+        relaxed = (d.filter(F.col("d") < _BF_INF)
+                    .join(wedges, F.col("id") == F.col("a"))
+                    .select(F.col("b").alias("id"),
+                            (F.col("d") + F.col("w")).alias("_cand"))
+                    .groupBy("id")
+                    .agg(F.min("_cand").alias("_best")))
+        d = (d.join(relaxed, "id", "left")
+              .select("id",
+                      F.least("d", F.coalesce("_best",
+                                              F.lit(_BF_INF)
+                                              .cast("bigint")))
+                       .alias("d"))
+              .localCheckpoint(eager=True))
+    return (d.filter(F.col("d") < _BF_INF)
+             .select("id", F.col("d").alias("dist")))
+
+
+bellman_ford_exact.__doc__ = bellman_ford_exact.__doc__.format(
+    rounds=_BF_ROUNDS)

@@ -102,3 +102,21 @@ def test_pagerank_exact_mass_and_ranking(spark, monkeypatch):
     assert set(got) == {1, 2, 3, 4}
     assert got[1] > got[2] == got[3] == got[4]
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_bellman_ford_weighted_paths(spark, monkeypatch):
+    # weighted line graph via shared orders: s1-s2 share 1 order,
+    # s2-s3 share 2, s1-s3 share none -> dist(s3) = w12 + w23 = 3,
+    # not the 1-hop INF. Source = min supplier = 1.
+    # All orderkeys divisible by 4 so the determinstic sample keeps
+    # every edge.
+    import etl_tool_rep_spark.queries.tier20 as t20
+    rows = []
+    rows += [(4, 1), (4, 2)]              # order 4: s1,s2  (w12=1)
+    rows += [(8, 2), (8, 3), (12, 2), (12, 3)]   # w23=2
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    monkeypatch.setattr(t20, "load", lambda s, d, n: li)
+    from etl_tool_rep_spark.queries import QUERIES
+    got = {r["id"]: r["dist"] for r in
+           QUERIES["bellman_ford_exact"](spark, "x").collect()}
+    assert got == {1: 0, 2: 1, 3: 3}
