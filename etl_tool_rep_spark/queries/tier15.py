@@ -431,3 +431,46 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
                  F.sum(F.size(F.split(F.col("seq"), " ")))
                   .cast("bigint").alias("n_bpe_tokens")))
+
+
+@query(
+    "k_anonymity_census",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT nation, segment, bal_band, n,
+           n >= 5 AS k_anonymous,
+           CAST(CASE WHEN n < 5 THEN n ELSE 0 END AS BIGINT)
+               AS exposed_rows
+    FROM cells
+    """,
+)
+def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over the customer quasi-identifier tuple
+    (nation, market segment, account-balance band): every
+    equivalence class with its size, the k>=5 verdict, and how many
+    rows a class below k exposes — the privacy-governance primitive
+    behind release decisions (Sweeney's k-anonymity; generalize the
+    QI or suppress the exposed cells until every class passes). The
+    balance band is integer floor(bal/1000) — the oracle-stable
+    generalization step.
+
+    Scale: one GROUP BY over the QI tuple (map-side combinable); the
+    census is |distinct QI cells|, tiny relative to rows. Skewed
+    cells aggregate before the shuffle — re-identification risk
+    scanning at 100 TB costs one pass."""
+    c = load(spark, sf_dir, "customer")
+    cells = (c.groupBy(F.col("c_nationkey").alias("nation"),
+                       F.col("c_mktsegment").alias("segment"),
+                       F.floor(F.col("c_acctbal") / 1000.0)
+                        .cast("bigint").alias("bal_band"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    return cells.select(
+        "nation", "segment", "bal_band", "n",
+        (F.col("n") >= 5).alias("k_anonymous"),
+        F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
+         .cast("bigint").alias("exposed_rows"))
