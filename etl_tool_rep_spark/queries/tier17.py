@@ -407,3 +407,49 @@ def feature_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("bucket").cast("bigint").alias("bucket"),
                     F.col("n_tokens").cast("bigint").alias("n_tokens"),
                     "example_tok"))
+
+
+@query(
+    "cdc_to_scd2",
+    oracle="""
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(lead(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us,
+           lead(ts) OVER w IS NULL AS is_current,
+           event_type AS state
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD2 (type-2 slowly-changing-dimension) HISTORY from
+    a change log: each user's events become versioned state rows with
+    [valid_from, valid_to) effectivity — valid_to is the next
+    change's timestamp, NULL marks the current row. The construction
+    half of the SCD2 story (`scd2_range_lookup` in tier 8 is the
+    point-in-time read half; operators/merge.scd2_apply is the
+    incremental-merge API). Timestamps travel as integer
+    microseconds; version numbers are the per-key change sequence
+    with the (ts, event_id) total order.
+
+    Scale: one window per key — Spark's WindowExec over a
+    (user_id)-partitioned sort, map-side nothing but also nothing
+    quadratic; at 100 TB the partition count follows the key space
+    and AQE splits skewed users. This is THE lakehouse
+    dimension-build pattern (CDC feed -> MERGE -> SCD2 history)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # catalog timestamps are NTZ; unix_micros needs TIMESTAMP — the
+    # session is pinned to UTC so the cast is the identity epoch
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    nxt = F.lead(us).over(w)
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        us.alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        F.col("event_type").alias("state"))

@@ -1,4 +1,4 @@
-"""Registry tripwires: the driver contract is exactly 229 keys
+"""Registry tripwires: the driver contract is exactly 230 keys
 (SURVEY.md §2.2 through tier 23), each
 with a callable, every oracle keyed by a registered query. Guards
 against silent shrinkage (a failed tier import used to drop its keys
@@ -9,7 +9,7 @@ import sys
 
 from etl_tool_rep_spark.queries import ORACLES, QUERIES
 
-EXPECTED = 229
+EXPECTED = 230
 
 
 def test_registry_counts():
