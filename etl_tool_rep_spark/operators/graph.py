@@ -64,15 +64,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                .unionByName(e.select(F.col("d").alias("id")))
                .distinct())
     n = verts.count()
-    out_deg = cp(e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")))
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree is static: fold it into the edge list ONCE so every
+    # round costs a single (ranks ⋈ weighted-edges) join instead of
+    # rank ⋈ edges ⋈ deg — max_iterations joins saved, identical
+    # arithmetic (same pattern as queries/tier20.pagerank_exact)
+    ew = cp(e.join(out_deg, "s"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
 
     for i in range(max_iterations):
-        contribs = (e.join(ranks, e.s == ranks.id)
-                     .join(out_deg, "s")
-                     .select(F.col("d").alias("id"),
-                             (F.col("rank") / F.col("deg"))
-                             .alias("contrib")))
+        contribs = (ew.join(ranks, ew.s == ranks.id)
+                      .select(F.col("d").alias("id"),
+                              (F.col("rank") / F.col("deg"))
+                              .alias("contrib")))
         inflow = contribs.groupBy("id").agg(
             F.sum("contrib").alias("inflow"))
         # mass conservation: sum(inflow) == 1 - dangling mass, so the
