@@ -120,3 +120,55 @@ def test_hyperplane_identical_vectors_are_neighbors(spark,
     # signature and cos = -1 can never verify
     assert got[9]["sig"] != got[1]["sig"]
     assert got[9]["n_near"] == 0
+
+
+# ---------------------------------------------------------------------------
+# property: the JVM shingle kernel == a pure-Python model on random text
+# ---------------------------------------------------------------------------
+
+def _shingle_model(text):
+    """Pure-Python re-implementation of _with_shingles' arithmetic."""
+    P, CB, WB = t21._P, t21._CHAR_BASE, t21._WORD_BASE
+    import re
+    words = [w for w in re.split(r"\s+", text) if w != ""]
+    if len(words) < 3:
+        return None
+    wh = []
+    for w in words:
+        h = 0
+        for ch in w:
+            h = (h * CB + ord(ch)) % P
+        wh.append(h)
+    out = []
+    for i in range(len(wh) - 2):
+        out.append(((wh[i] * WB + wh[i + 1]) % P * WB + wh[i + 2]) % P)
+    return sorted(set(out))
+
+
+def test_shingle_kernel_matches_python_model_property(spark):
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1, max_size=8)
+    texts = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(texts, min_size=1, max_size=4))
+    def check(samples):
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(samples)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+        got = {r["doc_id"]: sorted(r["_sh"]) for r in
+               t21._with_shingles(docs).collect()}
+        for i, t in enumerate(samples):
+            want = _shingle_model(t)
+            if want is None:
+                assert i not in got
+            else:
+                assert got[i] == want, (i, t)
+
+    check()
