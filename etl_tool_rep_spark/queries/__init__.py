@@ -56,3 +56,4 @@ if _HAVE_NUMPY_STACK:  # Pandas-UDF/numpy-kernel tiers
     from . import tier3c  # noqa: F401,E402
     from . import tier4  # noqa: F401,E402
     from . import tier5  # noqa: F401,E402
+    from . import tier24  # noqa: F401,E402

@@ -1,0 +1,230 @@
+"""Tier 24 — multimodal decode behind the exact oracle gate.
+
+Round-4 verdict item #1: `multimodal_features` was the one declared
+operator whose semantics were faked (byte statistics standing in for a
+decode). This tier closes it with a REAL, pure-stdlib PNG codec
+(operators/png.py — zlib inflate, CRC validation, all five scanline
+filters) and certifies it bit-for-bit:
+
+* the Spark side ENCODES deterministic images as real PNGs (filters
+  cycled per scanline so every payload exercises Sub/Up/Average/Paeth),
+  then DECODES them in a second Arrow-batched stage and emits integer
+  pixel statistics;
+* the DuckDB oracle never sees a PNG — it recomputes the same
+  statistics directly from the public pixel rule (an int64-safe LCG,
+  operators/multimodal.py docstring). A hash match therefore proves the
+  decoder exactly inverted the encoder through zlib + filtering, not
+  that two copies of the same code agree.
+
+``pix_wsum`` is position-weighted mod 1e9+7, so a decoder that
+mis-unfilters, transposes, or reorders pixels cannot pass.
+
+Scale posture: both stages are mapInPandas over binary columns (one
+Python crossing per Arrow batch); cost tracks payload bytes. At 100 TB
+the generator stage is replaced by `spark.read.format("binaryFile")`
+(sources/readers.py) — the decode stage and its partitioning guidance
+(size-balanced repartition before decode) are unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..operators import multimodal as M
+from ..operators import png
+from .registry import query
+
+_P = 1_000_000_007
+
+# shared pixel rule (valid in Spark SQL and DuckDB; see
+# operators/multimodal.pixel_rule_sql)
+_V = M.pixel_rule_sql("doc_id", "y", "x")
+
+_DIMS = "SELECT doc_id, 8 + doc_id % 5 AS h, 12 + doc_id % 7 AS w" \
+        " FROM documents"
+
+# doc -> (y, x) grid -> pixel value, as a DuckDB CTE chain. Two
+# separate unnest stages: two unnests in ONE select-list zip in
+# DuckDB instead of crossing.
+_PIXELS_CTE = f"""
+    dims AS ({_DIMS}),
+    ys AS (SELECT doc_id, h, w, unnest(range(0, h)) AS y FROM dims),
+    px AS (SELECT doc_id, h, w, y, unnest(range(0, w)) AS x FROM ys),
+    v AS (SELECT doc_id, h, w, y, x, {_V} AS v FROM px)
+"""
+
+
+@query(
+    "multimodal_decode_exact",
+    oracle=f"""
+    WITH {_PIXELS_CTE}
+    SELECT doc_id,
+           CAST(h AS BIGINT) AS height,
+           CAST(w AS BIGINT) AS width,
+           CAST(h * w AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS pix_sum,
+           CAST(MIN(v) AS BIGINT) AS pix_min,
+           CAST(MAX(v) AS BIGINT) AS pix_max,
+           CAST(SUM((y * w + x + 1) * v % {_P}) % {_P} AS BIGINT)
+               AS pix_wsum,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM v GROUP BY doc_id, h, w
+    """,
+)
+def multimodal_decode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG encode -> real PNG decode -> integer pixel stats,
+    hash-matched against DuckDB's direct recomputation of the pixel
+    rule (which never touches a PNG)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = M.synth_png_payloads(d)
+    return M.decode_pixel_stats(payloads)
+
+
+_RH, _RW = 6, 9  # fixed resize target (rows, cols)
+
+# portable y*h // RH for nonneg ints: (a - a % b) / b is an exact
+# multiple-of-b double division in both engines
+_SY = f"CAST((y * h - (y * h) % {_RH}) / {_RH} AS BIGINT)"
+_SX = f"CAST((x * w - (x * w) % {_RW}) / {_RW} AS BIGINT)"
+_RV = M.pixel_rule_sql("doc_id", _SY, _SX)
+
+
+@query(
+    "image_resize_exact",
+    oracle=f"""
+    WITH dims AS ({_DIMS}),
+    ys AS (SELECT doc_id, h, w, unnest(range(0, {_RH})) AS y FROM dims),
+    px AS (SELECT doc_id, h, w, y, unnest(range(0, {_RW})) AS x FROM ys),
+    rv AS (SELECT doc_id, y, x, {_RV} AS v FROM px)
+    SELECT doc_id,
+           CAST({_RH * _RW} AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS r_sum,
+           CAST(MIN(v) AS BIGINT) AS r_min,
+           CAST(MAX(v) AS BIGINT) AS r_max,
+           CAST(SUM((y * {_RW} + x + 1) * v % {_P}) % {_P} AS BIGINT)
+               AS r_wsum
+    FROM rv GROUP BY doc_id
+    """,
+)
+def image_resize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode -> nearest-neighbor resize (pure integer source
+    sampling) -> re-encode -> second decode -> stats. The oracle
+    recomputes the resize as index arithmetic on the pixel rule, so
+    the match certifies decode + resize + re-encode end to end."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("r_min", T.LongType()),
+        T.StructField("r_max", T.LongType()),
+        T.StructField("r_wsum", T.LongType()),
+    ])
+
+    def stage(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # resize_image round-trips through a REAL re-encode;
+                # decode the resized PNG again for the stats
+                resized = M.resize_image(bytes(payload), _RW, _RH)
+                pixels, w, h, _ = png.decode_png(resized)
+                v = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                pos = np.arange(1, v.size + 1, dtype=np.int64)
+                rows.append((int(doc_id), v.size, int(v.sum()),
+                             int(v.min()), int(v.max()),
+                             int((pos * v % _P).sum() % _P)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    d = load(spark, sf_dir, "documents")
+    return (M.synth_png_payloads(d)
+             .mapInPandas(stage, schema=schema))
+
+
+_FH, _FW = 6, 8        # fixed frame dims for the video stand-in
+_EVERY = 2             # sample every 2nd frame
+_FSEED = "(doc_id * 101 + f)"
+_FV = M.pixel_rule_sql(_FSEED, "y", "x")
+
+
+@query(
+    "video_frame_sample",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 4 AS n_frames FROM documents
+    ), fs AS (
+      SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f FROM docs
+    ), sampled AS (
+      SELECT doc_id, n_frames, f FROM fs WHERE f % {_EVERY} = 0
+    ), ys AS (
+      SELECT doc_id, n_frames, f, unnest(range(0, {_FH})) AS y FROM sampled
+    ), px AS (
+      SELECT doc_id, n_frames, f, y, unnest(range(0, {_FW})) AS x FROM ys
+    ), v AS (
+      SELECT doc_id, n_frames, f, y, x, {_FV} AS v FROM px
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+           CAST(SUM(v) AS BIGINT) AS f_sum,
+           CAST(MIN(v) AS BIGINT) AS f_min,
+           CAST(MAX(v) AS BIGINT) AS f_max
+    FROM v GROUP BY doc_id, n_frames
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-frame (video stand-in) sampling: pack 3-6 real PNG frames
+    per doc into the FRMS container, sample every 2nd frame, decode
+    the sampled frames, aggregate pixel stats. One row in -> one
+    binary container -> sampled-frame stats out, all inside
+    mapInPandas stages."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("f_sum", T.LongType()),
+        T.StructField("f_min", T.LongType()),
+        T.StructField("f_max", T.LongType()),
+    ])
+
+    def frame_pixels(seed: int) -> bytes:
+        y = np.arange(_FH, dtype=np.int64)[:, None]
+        x = np.arange(_FW, dtype=np.int64)[None, :]
+        s = (seed * 73856093 + y * 19349663 + x * 83492791) % 2147483648
+        v = ((s * 1103515245 + 12345) % 2147483648) >> 23
+        return v.astype(np.uint8).tobytes()
+
+    def stage(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                n = 3 + doc_id % 4
+                container = png.pack_frames([
+                    png.encode_png(frame_pixels(doc_id * 101 + f),
+                                   _FW, _FH, 1,
+                                   filter_choice=lambda y, f=f:
+                                       (doc_id + f + y) % 5)
+                    for f in range(n)])
+                # REAL sample + decode path (operators/multimodal.py)
+                frames = M.sample_frames(container, _EVERY)
+                vals = [np.frombuffer(png.decode_png(fr)[0],
+                                      dtype=np.uint8).astype(np.int64)
+                        for fr in frames]
+                allv = np.concatenate(vals)
+                rows.append((doc_id, n, len(frames), int(allv.sum()),
+                             int(allv.min()), int(allv.max())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(stage, schema=schema)

@@ -512,14 +512,44 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("a90", "p90_exact").alias("p90_ok"))
 
 
-@query("multimodal_features")  # rows-only: mapInPandas stage
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 5 AS h, 12 + doc_id % 7 AS w
+      FROM documents
+    ), ys AS (SELECT doc_id, h, w, unnest(range(0, h)) AS y FROM dims),
+    px AS (SELECT doc_id, h, w, y, unnest(range(0, w)) AS x FROM ys),
+    v AS (SELECT doc_id, h, w,
+                 ((((doc_id * 73856093 + y * 19349663 + x * 83492791)
+                    % 2147483648) * 1103515245 + 12345) % 2147483648)
+                 >> 23 AS v
+          FROM px)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(h * w AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS pix_sum,
+           CAST(SUM(v) // (h * w) AS BIGINT) AS mean_byte,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_bytes
+    FROM v GROUP BY doc_id, h, w
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + metadata struct -> Arrow-batched mapInPandas
-    feature extraction (decode stage stubbed; see
-    operators/multimodal.py)."""
+    """Binary payload column -> Arrow-batched feature extraction with
+    a REAL decode: payloads are actual zlib-compressed filter-cycled
+    PNGs (operators/png.py) and the features are decoded-pixel
+    statistics. Exact oracle since round 5 (the fake byte-stat stage
+    is gone): DuckDB recomputes the features from the public pixel
+    rule without ever parsing a PNG — see queries/tier24.py for the
+    full decode certification family."""
     d = load(spark, sf_dir, "documents")
-    feats = M.extract_features(M.attach_payload(d))
-    return feats.select("doc_id", "n_bytes",
-                        F.round(F.element_at("features", 5), 6)
-                         .alias("mean_byte"),
-                        F.element_at("features", 8).alias("n_distinct_bytes"))
+    feats = M.extract_features(M.synth_png_payloads(d))
+    fi = lambda i: F.element_at("features", i).cast("bigint")  # noqa: E731
+    return feats.select("doc_id",
+                        fi(1).alias("width"),
+                        fi(2).alias("height"),
+                        fi(3).alias("n_pixels"),
+                        fi(4).alias("pix_sum"),
+                        fi(7).alias("mean_byte"),
+                        fi(8).alias("n_distinct_bytes"))

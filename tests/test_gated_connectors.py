@@ -137,10 +137,18 @@ def test_read_excel_gated_without_openpyxl(spark, monkeypatch):
 # ---------------------------------------------------------------------------
 
 class _FakeImg:
-    format = "PNG"
+    format = "JPEG"
+    width = 2
+    height = 1
 
     def __init__(self, data):
         self.data = data
+
+    def tobytes(self):
+        return self.data
+
+    def getbands(self):
+        return ("L",)
 
     def resize(self, size):
         self.size = size
@@ -160,8 +168,9 @@ def fake_pil(monkeypatch):
 
 
 def test_decode_and_resize_with_fake_pil(fake_pil):
-    img = multimodal.decode_image(b"pixels")
-    assert img.data == b"pixels"
+    # non-PNG payloads route through the (mocked) PIL path
+    pixels, w, h, ch = multimodal.decode_image(b"pixels")
+    assert (pixels, w, h, ch) == (b"pixels", 2, 1, 1)
     out = multimodal.resize_image(b"pixels", 4, 4)
     assert out == b"resized:pixels"
 
@@ -175,7 +184,13 @@ def test_multimodal_gated_without_pil():
         multimodal.resize_image(b"x", 2, 2)
 
 
-def test_sample_frames_always_stubbed():
+def test_sample_frames_frms_real_other_gated():
+    # FRMS containers decode natively (no external decoder)
+    from etl_tool_rep_spark.operators import png
+    frames = [png.encode_png(bytes([i] * 6), 3, 2, 1) for i in range(5)]
+    got = multimodal.sample_frames(png.pack_frames(frames), every_n=2)
+    assert got == frames[::2]
+    # real video containers stay gated on the absent decoder
     with pytest.raises(NotImplementedError, match="decoder"):
         multimodal.sample_frames(b"video-bytes")
 

@@ -9,7 +9,7 @@ import sys
 
 from etl_tool_rep_spark.queries import ORACLES, QUERIES
 
-EXPECTED = 230
+EXPECTED = 233
 
 
 def test_registry_counts():
