@@ -145,20 +145,33 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", type=int, default=10)
     ap.add_argument("--out", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (default: all) — e.g. "
+                         "'lineitem,documents' for a graph-family-only "
+                         "sf10 that skips the 100x embeddings tile")
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
+
+    def want(t: str) -> bool:
+        return only is None or t in only
+
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     for table in ("region", "nation"):  # dims copy through unchanged
-        con.execute(f"""
-            COPY (SELECT * FROM '{SRC}/{table}.parquet')
-            TO '{args.out}/{table}.parquet' (FORMAT PARQUET)""")
+        if want(table):
+            con.execute(f"""
+                COPY (SELECT * FROM '{SRC}/{table}.parquet')
+                TO '{args.out}/{table}.parquet' (FORMAT PARQUET)""")
     for table in STRIDES:
-        tile_relational(con, table, args.tiles, args.out)
-        print("tiled", table)
-    tile_documents(con, args.tiles, args.out)
-    print("tiled documents")
-    tile_embeddings(args.tiles, args.out)
-    print("tiled embeddings")
+        if want(table):
+            tile_relational(con, table, args.tiles, args.out)
+            print("tiled", table)
+    if want("documents"):
+        tile_documents(con, args.tiles, args.out)
+        print("tiled documents")
+    if want("embeddings"):
+        tile_embeddings(args.tiles, args.out)
+        print("tiled embeddings")
 
 
 if __name__ == "__main__":
