@@ -25,6 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# SQL-literal plan-size ceiling: codebooks/centroid sets inlined as
+# parsed SQL text must stay under ~1 MB; bigger constants ship as a
+# broadcast 1-row table instead (see ivf_assign and SCALE.md)
+_LITERAL_PLAN_CEILING_CHARS = 1_000_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -207,7 +213,15 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     IDS, by contrast, are an nlist-sized typed ``F.lit`` array (a few
     hundred round-trips at most) so arbitrary id types (string/UUID
     labels, ints) survive with their original Spark type instead of
-    being forced through SQL text as BIGINT."""
+    being forced through SQL text as BIGINT.
+
+    Plan-size guard: the literal form is only used while the codebook
+    text stays under ``_LITERAL_PLAN_CEILING_CHARS`` (~1 MB). Above
+    that (e.g. nlist 4096 x dim 256) Catalyst parse/analyze time and
+    plan-string bloat grow super-linearly, so the codebook ships as a
+    broadcast 1-row table instead — identical results, same
+    zero-shuffle map, data on the broadcast channel instead of in the
+    query text (measured in SCALE.md §literal-plans)."""
     import math
 
     rows = (centroids.select(centroid_id, centroid_vec)
@@ -226,14 +240,32 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                 % (r[centroid_id],))
         nrm = math.sqrt(sum(x * x for x in cv)) or 1.0
         units.append([x / nrm for x in cv])
-    cent_lit = F.expr("array(%s)" % ",".join(
-        "array(%s)" % ",".join(repr(x) + "D" for x in cv)
-        for cv in units))
+    literal_chars = sum(len(repr(x)) + 2 for cv in units for x in cv)
+    if literal_chars <= _LITERAL_PLAN_CEILING_CHARS:
+        cent_lit = F.expr("array(%s)" % ",".join(
+            "array(%s)" % ",".join(repr(x) + "D" for x in cv)
+            for cv in units))
+    else:
+        # plan-size guard (SCALE.md §literal-plans): above ~1 MB of
+        # SQL text, parse/analyze time grows super-linearly and the
+        # plan string bloats every explain/UI payload. Ship the
+        # codebook as a broadcast 1-row table instead — same
+        # downstream expressions, data moves via the broadcast
+        # channel rather than the query text. (Measured: 256x64
+        # floats parse in ~60 ms; 4096x256 would be ~20 MB of text.)
+        spark = vectors.sparkSession
+        cent_row = spark.createDataFrame(
+            [(units,)], T.StructType([T.StructField(
+                "_cents", T.ArrayType(T.ArrayType(T.DoubleType())))]))
+        vectors = vectors.crossJoin(F.broadcast(cent_row))
+        cent_lit = F.col("_cents")
     id_lit = F.array(*[F.lit(c) for c in cids])
     sims = F.transform(cent_lit, lambda c: dot(F.col(vec_col), c))
     pos = F.array_position(sims, F.array_max(sims)).cast("int")
-    return (vectors
-            .withColumn(centroid_id, F.element_at(id_lit, pos)))
+    out = vectors.withColumn(centroid_id, F.element_at(id_lit, pos))
+    if literal_chars > _LITERAL_PLAN_CEILING_CHARS:
+        out = out.drop("_cents")
+    return out
 
 
 def ivf_topk(queries: DataFrame, assigned: DataFrame,

@@ -227,7 +227,11 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_map = {r["word"]: r["bits"] for r in bits.collect()}
     # one parsed SQL literal, not _BLOOM_WORDS F.lit Columns — the
     # same py4j-storm fix as operators/knn.ivf_assign (building 1024
-    # Column objects costs ~2s of driver time per call)
+    # Column objects costs ~2s of driver time per call). 1024 words
+    # is ~20 KB of SQL text, far under the ~1 MB literal-plan ceiling
+    # (knn._LITERAL_PLAN_CEILING_CHARS); a filter-sized bloom (MBs)
+    # must ship as a broadcast table instead, like ivf_assign's
+    # fallback — SCALE.md §literal-plans.
     bloom = F.expr("array(" + ",".join(
         f"{word_map.get(i, 0)}L" for i in range(_BLOOM_WORDS)) + ")")
 

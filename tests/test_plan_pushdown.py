@@ -1,0 +1,96 @@
+"""Plan-shape regression gates (round-4 verdict item #7): predicate
+pushdown and column pruning must hold for the headline family — a
+plan regression should fail CI, not wait for a human explain audit.
+
+For each listed query we assert, on the FORMATTED physical plan:
+* every parquet scan of the named table carries non-empty
+  ``PushedFilters`` when the query filters that table;
+* the scan's ``ReadSchema`` is PRUNED — it reads at most the listed
+  number of columns, never the full table width.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_tool_rep_spark.queries import QUERIES
+
+# full fixture widths (TESTDATA.md) — pruning is asserted against these
+_TABLE_WIDTH = {
+    "lineitem": 11, "orders": 6, "customer": 5, "supplier": 4,
+    "part": 6, "events": 6, "documents": 5, "embeddings": 3,
+}
+
+# (query, table, expect_pushed_filter, max_read_cols)
+CASES = [
+    ("filter_predicate", "lineitem", True, 5),
+    ("tpch_q6_forecast", "lineitem", True, 4),
+    ("tpch_q3_shipping", "orders", True, 4),
+    ("tpch_q3_shipping", "customer", True, 2),
+    ("tpch_q19_disjunction", "part", True, 4),
+    ("tpch_q10_returns", "lineitem", True, 4),
+    ("topk_limit", "lineitem", True, 4),
+    # pruning-only cases (no filter on the scanned table, but the
+    # scan must still be narrow)
+    ("groupby_agg", "lineitem", False, 5),
+    ("token_count", "documents", False, 3),
+    ("exact_dedup", "documents", False, 3),
+    ("embedding_knn", "embeddings", False, 2),
+    ("tpch_q1_pricing", "lineitem", True, 7),
+]
+
+
+def _formatted_plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def _scans(plan: str, table: str) -> list[dict]:
+    """Parse the formatted plan's '(n) Scan parquet' blocks for the
+    given table into {pushed: str|None, n_cols: int} records."""
+    out = []
+    blocks = re.split(r"\n\n", plan)
+    for b in blocks:
+        if not re.search(r"^\(\d+\) Scan parquet", b, re.M):
+            continue
+        if f"{table}.parquet" not in b:
+            continue
+        pushed = None
+        m = re.search(r"PushedFilters: \[(.*?)\]", b, re.S)
+        if m:
+            pushed = m.group(1).strip()
+        ms = re.search(r"ReadSchema: struct<(.*?)>", b, re.S)
+        n_cols = len(ms.group(1).split(",")) if ms and ms.group(1) \
+            else 0
+        out.append({"pushed": pushed, "n_cols": n_cols})
+    return out
+
+
+@pytest.mark.parametrize("name,table,want_pushed,max_cols", CASES,
+                         ids=[f"{q}:{t}" for q, t, _, _ in CASES])
+def test_pushdown_and_pruning(spark, sf_dir, name, table, want_pushed,
+                              max_cols):
+    df = QUERIES[name](spark, sf_dir)
+    plan = _formatted_plan(df)
+    scans = _scans(plan, table)
+    assert scans, f"no parquet scan of {table} found in {name}'s plan"
+    widths = [s["n_cols"] for s in scans]
+    assert max(widths) <= max_cols, (
+        f"{name}: {table} scan reads {max(widths)} cols "
+        f"(limit {max_cols}) — column pruning regressed")
+    assert max(widths) < _TABLE_WIDTH[table], (
+        f"{name}: {table} scan reads the full table width")
+    if want_pushed:
+        assert any(s["pushed"] for s in scans), (
+            f"{name}: no non-empty PushedFilters on the {table} scan "
+            f"— predicate pushdown regressed")
+
+
+def test_all_case_queries_still_registered():
+    for name, *_ in CASES:
+        assert name in QUERIES

@@ -41,30 +41,40 @@ def time_query(spark, fn, sf_dir: str, iters: int = 2) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--dirs", default=None,
+                    help="colon-separated ORDERED fixture dirs, each "
+                         "10x the previous (overrides --sf1); per-"
+                         "decade exponents are reported for each "
+                         "adjacent pair — e.g. "
+                         "/root/testdata/sf0.1:.scratch/sf1:.scratch/sf10")
     ap.add_argument("--names", nargs="*", default=None)
     args = ap.parse_args()
 
     import bench
     from etl_tool_rep_spark.queries import QUERIES
     names = args.names or (bench.HEADLINE + WEAK)
+    dirs = (args.dirs.split(":") if args.dirs
+            else ["/root/testdata/sf0.1", args.sf1])
+    labels = [os.path.basename(os.path.normpath(d)) for d in dirs]
 
     spark = get_spark("scale_rehearsal")
     out = {}
     for name in names:
         fn = QUERIES[name]
-        t_small = time_query(spark, fn, "/root/testdata/sf0.1")
-        t_big = time_query(spark, fn, args.sf1)
-        exp = round(math.log10(max(t_big, 1e-3)
-                               / max(t_small, 1e-3)), 2)
-        out[name] = {"sf0.1_s": t_small, "sf1_s": t_big,
-                     "exponent": exp}
-        print(json.dumps({"query": name, **out[name]}), flush=True)
-    total_small = round(sum(v["sf0.1_s"] for v in out.values()), 1)
-    total_big = round(sum(v["sf1_s"] for v in out.values()), 1)
-    print(json.dumps({"total_sf0.1_s": total_small,
-                      "total_sf1_s": total_big,
-                      "overall_exponent": round(
-                          math.log10(total_big / total_small), 2)}))
+        times = [time_query(spark, fn, d) for d in dirs]
+        exps = [round(math.log10(max(tb, 1e-3) / max(ta, 1e-3)), 2)
+                for ta, tb in zip(times, times[1:])]
+        rec = {labels[i] + "_s": times[i] for i in range(len(dirs))}
+        rec["exponents"] = exps
+        out[name] = rec
+        print(json.dumps({"query": name, **rec}), flush=True)
+    totals = {labels[i] + "_total_s":
+              round(sum(out[n][labels[i] + "_s"] for n in out), 1)
+              for i in range(len(dirs))}
+    tvals = list(totals.values())
+    totals["overall_exponents"] = [
+        round(math.log10(tb / ta), 2) for ta, tb in zip(tvals, tvals[1:])]
+    print(json.dumps(totals))
 
 
 if __name__ == "__main__":
