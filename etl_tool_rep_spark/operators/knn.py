@@ -254,17 +254,22 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
         # channel rather than the query text. (Measured: 256x64
         # floats parse in ~60 ms; 4096x256 would be ~20 MB of text.)
         spark = vectors.sparkSession
+        # collision-safe helper column: the input may legitimately own
+        # any fixed name, so derive one it provably doesn't
+        ccol = "_cents"
+        while ccol in vectors.columns:
+            ccol += "_"
         cent_row = spark.createDataFrame(
             [(units,)], T.StructType([T.StructField(
-                "_cents", T.ArrayType(T.ArrayType(T.DoubleType())))]))
+                ccol, T.ArrayType(T.ArrayType(T.DoubleType())))]))
         vectors = vectors.crossJoin(F.broadcast(cent_row))
-        cent_lit = F.col("_cents")
+        cent_lit = F.col(ccol)
     id_lit = F.array(*[F.lit(c) for c in cids])
     sims = F.transform(cent_lit, lambda c: dot(F.col(vec_col), c))
     pos = F.array_position(sims, F.array_max(sims)).cast("int")
     out = vectors.withColumn(centroid_id, F.element_at(id_lit, pos))
     if literal_chars > _LITERAL_PLAN_CEILING_CHARS:
-        out = out.drop("_cents")
+        out = out.drop(ccol)
     return out
 
 

@@ -41,6 +41,11 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> bytes per pixel (8-bit depth only)
 _BPP = {0: 1, 2: 3}
 
+# hard ceiling on a single image's decoded pixel buffer (256 MiB):
+# IHDR dimensions are attacker-controlled bytes, so the decoder must
+# refuse sizes no sane training image reaches before allocating
+_MAX_PIXEL_BYTES = 256 * 1024 * 1024
+
 
 class PngError(ValueError):
     """Malformed or unsupported PNG payload."""
@@ -184,6 +189,8 @@ def decode_png(payload: bytes) -> tuple[bytes, int, int, int]:
         data = payload[pos + 8:pos + 8 + length]
         if len(data) != length:
             raise PngError("truncated chunk data")
+        if pos + 12 + length > len(payload):
+            raise PngError("truncated chunk crc")
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length:pos + 12 + length])
         if crc32(ctype + data) & 0xFFFFFFFF != crc:
@@ -201,6 +208,13 @@ def decode_png(payload: bytes) -> tuple[bytes, int, int, int]:
             if interlace != 0:
                 raise PngError("interlaced PNGs not supported")
             channels = _BPP[color]
+            # declared-size ceiling: a hostile tiny payload must not be
+            # able to command an unbounded allocation in the decode
+            # stage (pixel buffers are per-Arrow-batch, in-executor)
+            if width * height * channels > _MAX_PIXEL_BYTES:
+                raise PngError(
+                    f"declared image size {width}x{height}x{channels} "
+                    f"exceeds the {_MAX_PIXEL_BYTES}-byte decode ceiling")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -211,12 +225,22 @@ def decode_png(payload: bytes) -> tuple[bytes, int, int, int]:
         raise PngError("missing IHDR")
     if not seen_end:
         raise PngError("missing IEND")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: never allocate more than the IHDR-declared size
+    # plus one probe byte, regardless of what the stream would expand to
+    # (zlib-bomb defense — plain zlib.decompress inflates fully first)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise PngError(f"corrupt IDAT stream: {e}") from e
+    if d.unconsumed_tail:
+        raw += d.decompress(d.unconsumed_tail, 1)
+    if len(raw) != expected:
         raise PngError(
-            f"decompressed stream is {len(raw)} bytes, expected "
-            f"{(stride + 1) * height}")
+            f"decompressed stream is {'>' if len(raw) > expected else ''}"
+            f"{len(raw)} bytes, expected {expected}")
     out = bytearray(stride * height)
     prior = bytes(stride)
     for y in range(height):

@@ -88,6 +88,38 @@ def test_wrong_decompressed_length_rejected():
         png.decode_png(blob)
 
 
+def test_truncated_mid_crc_rejected():
+    """A payload cut inside a chunk's 4 CRC bytes must raise PngError,
+    not leak a struct.error."""
+    blob = _valid_blob()
+    # end of IHDR chunk = 8 (sig) + 25 (IHDR); cut 2 bytes into its CRC
+    for cut in (8 + 25 - 2, 8 + 25 - 1):
+        with pytest.raises(png.PngError, match="truncated"):
+            png.decode_png(blob[:cut])
+
+
+def test_declared_size_ceiling_rejected():
+    """A tiny payload declaring absurd IHDR dimensions must be refused
+    BEFORE any pixel-buffer allocation (zlib-bomb defense)."""
+    ihdr = struct.pack(">IIBBBBB", 2 ** 30, 2 ** 30, 8, 2, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IEND", b""))
+    with pytest.raises(png.PngError, match="ceiling"):
+        png.decode_png(blob)
+
+
+def test_overlong_idat_stream_bounded():
+    """An IDAT stream inflating past the declared size must fail after
+    at most declared+1 bytes of output — never a full inflate."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    # compresses to ~10 KB but would inflate to 10 MB; declared = 6 B
+    idat = zlib.compress(b"\x00" * (10 * 1024 * 1024))
+    blob = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", idat) + png._chunk(b"IEND", b""))
+    with pytest.raises(png.PngError, match="decompressed"):
+        png.decode_png(blob)
+
+
 def test_unsupported_depth_rejected():
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     blob = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)

@@ -107,3 +107,12 @@ def test_ivf_literal_fallback_matches_literal_path(spark, em, monkeypatch):
         em, cents, "vec_id", "embedding")
         .select("vec_id", "centroid_id").collect())
     assert lit == fb
+    # the fallback's helper column must not collide with (or drop) a
+    # user column that happens to be named _cents
+    em2 = em.withColumn("_cents", F.lit(7))
+    fb2 = knn.ivf_assign(em2, cents, "vec_id", "embedding")
+    assert "_cents" in fb2.columns
+    got2 = sorted(tuple(r) for r in
+                  fb2.select("vec_id", "centroid_id").collect())
+    assert got2 == lit
+    assert fb2.select("_cents").distinct().collect()[0][0] == 7
