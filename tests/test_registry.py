@@ -1,4 +1,4 @@
-"""Registry tripwires: the driver contract is exactly 230 keys
+"""Registry tripwires: the driver contract is exactly EXPECTED keys
 (SURVEY.md §2.2 through tier 23), each
 with a callable, every oracle keyed by a registered query. Guards
 against silent shrinkage (a failed tier import used to drop its keys
@@ -9,7 +9,7 @@ import sys
 
 from etl_tool_rep_spark.queries import ORACLES, QUERIES
 
-EXPECTED = 234
+EXPECTED = 235
 
 
 def test_registry_counts():
