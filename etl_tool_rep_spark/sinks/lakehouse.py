@@ -471,6 +471,39 @@ class LakeTable:
 
     # -- maintenance ----------------------------------------------------
 
+    def compact(self, batch_id: str, target_file_bytes: int = 128 << 20,
+                max_retries: int = 10) -> int:
+        """Transactional small-file compaction (OPTIMIZE). Streaming
+        appends and file-granular merges accrete small files; this
+        rewrites only files below ``target_file_bytes`` — bin-packed
+        into ~target-sized outputs, re-range-partitioned on the
+        cluster key so footer-stat pruning keeps biting — and carries
+        every already-right-sized file BY REFERENCE. Same optimistic
+        commit + idempotent batch-id protocol as merge; rows are
+        untouched, so readers see an identical table before and after.
+        A commit cost that tracks the SMALL-file byte total, never the
+        table."""
+
+        def plan(manifest: dict) -> list[dict]:
+            small, big = [], []
+            for e in manifest["files"]:
+                try:
+                    sz = os.path.getsize(e["path"])
+                except OSError:
+                    sz = target_file_bytes          # unknowable → keep
+                (small if sz < target_file_bytes else big).append(e)
+            if len(small) < 2:
+                return list(manifest["files"])      # nothing to gain
+            df = self._read_files(manifest, [e["path"] for e in small])
+            total = sum(os.path.getsize(e["path"]) for e in small)
+            n_out = max(1, -(-total // target_file_bytes))  # ceil-div
+            cluster = manifest.get("cluster_by", [])
+            df = (df.repartitionByRange(n_out, *cluster) if cluster
+                  else df.coalesce(n_out))
+            return big + self._write_data(df, cluster)
+
+        return self._transact(plan, batch_id, max_retries)
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop data dirs referenced only by snapshots older than the
         last ``keep_last`` (and orphans from crashed commits). Returns

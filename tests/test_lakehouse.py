@@ -255,6 +255,34 @@ def test_delete_all_leaves_readable_empty_snapshot(spark, table):
     assert _rows(table.snapshot()) == [(9, 90)]
 
 
+def test_compact_bin_packs_small_files_only(spark, clustered):
+    """10 tiny appended files + the 8 clustered base files: compaction
+    must merge every below-threshold file into few outputs, carry any
+    right-sized file by reference, keep rows identical, and replay
+    idempotently under the same batch_id."""
+    t = clustered
+    for i in range(10):
+        t.append(_mk(spark, [(2000 + i, i)]), batch_id=f"a{i}")
+    before_rows = _rows(t.snapshot())
+    n_before = len(_paths(t))
+    assert n_before >= 18
+    v = t.compact(batch_id="opt1", target_file_bytes=1 << 20)
+    assert len(_paths(t)) < n_before            # net shrink
+    assert _rows(t.snapshot()) == before_rows   # rows untouched
+    t.compact(batch_id="opt1")                  # idempotent replay
+    assert t.version() == v
+    # stats survive: a post-compaction merge still prunes by range
+    m = t._manifest(t.version())
+    assert any(e["stats"].get("k") for e in m["files"])
+
+
+def test_compact_noop_when_nothing_to_gain(spark, table):
+    v = table.version()
+    table.compact(batch_id="opt1", target_file_bytes=1)  # all "big"
+    assert _rows(table.snapshot()) == [(1, 10), (2, 20), (3, 30)]
+    assert table.version() == v + 1             # commit recorded (audit)
+
+
 def test_commit_reads_constant_manifests(spark, table):
     """Commit cost must be independent of table history: the cumulative
     batch-id set rides in the latest manifest, so a transact reads

@@ -49,10 +49,20 @@ def main() -> None:
     z[over] = rng.integers(1, args.suppliers + 1, size=int(over.sum()))
     supp = z - 1
 
+    # part keys for the supplier-part co-occurrence family
+    # (neighbor_jaccard): same Zipf shape, drawn AFTER the supplier
+    # stream so adding this column leaves l_orderkey/l_suppkey
+    # bit-identical to earlier fixtures (same seed, same draw order)
+    zp = rng.zipf(args.zipf, size=n_rows).astype(np.int64)
+    overp = zp > args.suppliers
+    zp[overp] = rng.integers(1, args.suppliers + 1, size=int(overp.sum()))
+    part = zp - 1
+
     os.makedirs(args.out, exist_ok=True)
     tbl = pa.table({
         "l_orderkey": pa.array(orderkeys, pa.int64()),
         "l_suppkey": pa.array(supp, pa.int64()),
+        "l_partkey": pa.array(part, pa.int64()),
     })
     pq.write_table(tbl, os.path.join(args.out, "lineitem.parquet"),
                    row_group_size=262_144)
