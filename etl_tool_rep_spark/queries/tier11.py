@@ -376,3 +376,82 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_reps"),
                  F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
                  F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi")))
+
+
+@query(
+    "join_cardinality",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    oo AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    lp AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    pp AS (
+      SELECT p_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM part GROUP BY 1),
+    j1 AS (
+      SELECT CAST(SUM(lo.c * oo.c) AS BIGINT) AS est_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+             CAST(MAX(lo.c * oo.c) AS BIGINT) AS max_key_rows
+      FROM lo JOIN oo ON lo.k = oo.k),
+    j2 AS (
+      SELECT CAST(SUM(lp.c * pp.c) AS BIGINT) AS est_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+             CAST(MAX(lp.c * pp.c) AS BIGINT) AS max_key_rows
+      FROM lp JOIN pp ON lp.k = pp.k)
+    SELECT 'lineitem_orders_orderkey' AS join_name,
+           est_rows, n_matched_keys, max_key_rows,
+           ROUND(max_key_rows / CAST(est_rows AS DOUBLE), 6)
+               AS top_key_share
+    FROM j1
+    UNION ALL
+    SELECT 'lineitem_part_partkey', est_rows, n_matched_keys,
+           max_key_rows,
+           ROUND(max_key_rows / CAST(est_rows AS DOUBLE), 6)
+    FROM j2
+    """,
+)
+def join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality from key histograms — the planner
+    primitive you run BEFORE committing a 100-TB join: |A join B on k|
+    = sum over k of cnt_A(k) * cnt_B(k), computed from two per-key
+    count aggregations joined on the key, never from the join itself.
+    Reports the exact output size, matched-key count, the heaviest
+    key's contribution and its share (>> 1/n_keys means AQE skew
+    split or salting before the real join; pairs with `skew_profile`
+    which covers the self-join case).
+
+    Scale: the count tables are |distinct keys| rows (map-side
+    combined), their join shuffles keys + counts only — bytes
+    proportional to the key space, not the data. The estimate is
+    EXACT for equi-joins; its cost is two cheap aggregations."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    pt = load(spark, sf_dir, "part")
+
+    def counts(df, key):
+        return (df.groupBy(F.col(key).alias("k"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+    def one(ca, cb, name):
+        j = ca.alias("a").join(cb.alias("b"), "k").select(
+            (F.col("a.c") * F.col("b.c")).alias("kr"))
+        agg = j.agg(F.sum("kr").cast("bigint").alias("est_rows"),
+                    F.count(F.lit(1)).cast("bigint")
+                     .alias("n_matched_keys"),
+                    F.max("kr").cast("bigint").alias("max_key_rows"))
+        return agg.select(
+            F.lit(name).alias("join_name"),
+            "est_rows", "n_matched_keys", "max_key_rows",
+            F.round(F.col("max_key_rows")
+                    / F.col("est_rows").cast("double"), 6)
+             .alias("top_key_share"))
+
+    return one(counts(li, "l_orderkey"), counts(od, "o_orderkey"),
+               "lineitem_orders_orderkey").unionAll(
+        one(counts(li, "l_partkey"), counts(pt, "p_partkey"),
+            "lineitem_part_partkey"))

@@ -474,3 +474,54 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") >= 5).alias("k_anonymous"),
         F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
          .cast("bigint").alias("exposed_rows"))
+
+
+@query(
+    "l_diversity_census",
+    oracle="""
+    WITH per AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ), cls AS (
+      SELECT nation, bal_band,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS l,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM per GROUP BY nation, bal_band
+    )
+    SELECT nation, bal_band, n, l,
+           l >= 3 AS l_diverse,
+           ROUND(max_cnt / CAST(n AS DOUBLE), 6) AS top_share
+    FROM cls
+    """,
+)
+def l_diversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census (Machanavajjhala et al. 2007) — the standard
+    companion to `k_anonymity_census`: a class can be k-anonymous yet
+    leak its sensitive attribute if every member shares one value.
+    Per quasi-identifier class (nation, balance band): size n, number
+    of distinct sensitive values l (market segment as the sensitive
+    attribute), the l>=3 verdict, and the top sensitive value's share
+    (the attacker's posterior from a homogeneity attack).
+
+    Scale: two chained map-side-combinable GROUP BYs — (QI, sensitive)
+    counts, then a QI rollup; the census is |distinct QI x sensitive|
+    rows mid-plan, tiny relative to the table. One pass at 100 TB."""
+    c = load(spark, sf_dir, "customer")
+    per = (c.groupBy(F.col("c_nationkey").alias("nation"),
+                     F.floor(F.col("c_acctbal") / 1000.0)
+                      .cast("bigint").alias("bal_band"),
+                     F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    cls = (per.groupBy("nation", "bal_band")
+           .agg(F.sum("cnt").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("l"),
+                F.max("cnt").cast("bigint").alias("max_cnt")))
+    return cls.select(
+        "nation", "bal_band", "n", "l",
+        (F.col("l") >= 3).alias("l_diverse"),
+        F.round(F.col("max_cnt") / F.col("n").cast("double"), 6)
+         .alias("top_share"))
