@@ -124,3 +124,68 @@ def lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_compact",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), extra AS (
+      SELECT o_orderkey AS k, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), final AS (
+      SELECT * FROM base UNION ALL SELECT * FROM extra
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key,
+           CAST(7 AS BIGINT) AS n_versions,
+           TRUE AS files_shrank
+    FROM final
+    """,
+)
+def lakehouse_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction behind the exact gate: create a
+    key-clustered table, accrete 5 small appends (each lands as new
+    small files, zero rewrite), OPTIMIZE with ``compact()`` — which
+    must bin-pack only the small files, carry right-sized ones by
+    reference, and change NO rows — then replay the compact batch_id
+    (idempotent no-op). The oracle replays the rows as pure SQL; the
+    pinned version count (create + 5 appends + compact = 7) and the
+    files_shrank flag certify the maintenance protocol itself."""
+    orders = load(spark, sf_dir, "orders")
+
+    def slice_df(where: str) -> DataFrame:
+        return (orders.filter(F.expr(where))
+                .select(F.col("o_orderkey").alias("k"),
+                        F.expr(_CENTS).alias("cents")))
+
+    root = tempfile.mkdtemp(prefix="etl_lakehouse_compact_")
+    try:
+        t = LakeTable.create(spark, root, slice_df("o_orderkey % 2 = 0"),
+                             batch_id="create", cluster_by="k",
+                             num_files=4)
+        for i in range(5):
+            t.append(slice_df(f"o_orderkey % 2 = 1 AND "
+                              f"o_orderkey % 5 = {i}"),
+                     batch_id=f"a{i}")
+        n_files_before = len(t._manifest(t.version())["files"])
+        v = t.compact(batch_id="opt", target_file_bytes=64 << 20)
+        t.compact(batch_id="opt")            # idempotent replay: no-op
+        n_files_after = len(t._manifest(t.version())["files"])
+        agg = (t.snapshot()
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("cents").alias("sum_cents"),
+                    F.min("k").alias("min_key"),
+                    F.max("k").alias("max_key"))
+               .withColumn("n_versions",
+                           F.lit(t.version()).cast("bigint"))
+               .withColumn("files_shrank",
+                           F.lit(bool(n_files_after < n_files_before))))
+        rows = agg.collect()                 # 1 row, then cleanup
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
