@@ -283,6 +283,40 @@ def test_compact_noop_when_nothing_to_gain(spark, table):
     assert table.version() == v + 1             # commit recorded (audit)
 
 
+def test_pruned_merge_matches_full_merge_semantics(spark, tmp_path):
+    """Differential: the file-granular merge (footer-stat pruning +
+    carry-by-reference) must produce EXACTLY the rows a whole-snapshot
+    merge_upsert would — across adversarial key layouts: update keys
+    inside/outside/straddling file ranges, NULL keys on both sides,
+    empty updates, and inserts beyond every range."""
+    cases = [
+        # (base keys, update (k, v) pairs)
+        (list(range(1, 101)), [(5, -5), (99, -99), (500, 1)]),
+        (list(range(1, 101)), [(None, -1), (50, -50)]),
+        ([1, 2, 3, None], [(None, -1), (3, -3)]),
+        (list(range(1, 101)), []),
+        ([10, 20, 30], [(1, -1), (40, -40)]),      # all outside ranges
+        (list(range(1, 101)), [(k, -k) for k in range(1, 101)]),
+    ]
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    for i, (base_keys, ups) in enumerate(cases):
+        base = spark.createDataFrame(
+            [(k, (k or 0) * 10) for k in base_keys], schema)
+        updates = spark.createDataFrame(ups, schema)
+        t = LakeTable.create(spark, str(tmp_path / f"t{i}"), base,
+                             cluster_by="k", num_files=4)
+        t.merge(updates, "k", batch_id="b")
+        got = sorted(map(tuple, t.snapshot().collect()),
+                     key=lambda r: (r[0] is None, r[0]))
+        from etl_tool_rep_spark.operators.merge import merge_upsert
+        want = sorted(map(tuple, merge_upsert(base, updates,
+                                              ["k"]).collect()),
+                      key=lambda r: (r[0] is None, r[0]))
+        assert got == want, f"case {i}: {got} != {want}"
+
+
 def test_commit_reads_constant_manifests(spark, table):
     """Commit cost must be independent of table history: the cumulative
     batch-id set rides in the latest manifest, so a transact reads
