@@ -59,7 +59,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "bpe_merge_train",
                    # node count attached as a broadcast 1-row
                    # aggregate each damping round
-                   "pagerank_exact"}
+                   "pagerank_exact",
+                   # tier-26 scalar attaches: date-midpoint pivot and
+                   # old/new totals (two 1-row broadcast aggregates)
+                   "schema_drift_report"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
