@@ -51,6 +51,7 @@ from . import tier22  # noqa: F401,E402
 from . import tier23  # noqa: F401,E402
 from . import tier25  # noqa: F401,E402
 from . import tier26  # noqa: F401,E402
+from . import tier27  # noqa: F401,E402
 
 if _HAVE_NUMPY_STACK:  # Pandas-UDF/numpy-kernel tiers
     from . import tier3  # noqa: F401,E402
@@ -59,3 +60,4 @@ if _HAVE_NUMPY_STACK:  # Pandas-UDF/numpy-kernel tiers
     from . import tier4  # noqa: F401,E402
     from . import tier5  # noqa: F401,E402
     from . import tier24  # noqa: F401,E402
+    from . import tier27m  # noqa: F401,E402
