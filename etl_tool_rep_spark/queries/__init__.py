@@ -53,6 +53,7 @@ from . import tier25  # noqa: F401,E402
 from . import tier26  # noqa: F401,E402
 from . import tier27  # noqa: F401,E402
 from . import tier28  # noqa: F401,E402
+from . import tier29  # noqa: F401,E402
 
 if _HAVE_NUMPY_STACK:  # Pandas-UDF/numpy-kernel tiers
     from . import tier3  # noqa: F401,E402
