@@ -62,7 +62,18 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "pagerank_exact",
                    # tier-26 scalar attaches: date-midpoint pivot and
                    # old/new totals (two 1-row broadcast aggregates)
-                   "schema_drift_report"}
+                   "schema_drift_report",
+                   # tier-27/28 dimension completions + scalar
+                   # attaches: t-closeness crosses the QI-class census
+                   # with the |segments|-row global distribution and a
+                   # 1-row total; theil-sen attaches the 1-row max-day
+                   # pivot; blocking-recall combines three 1-row pair
+                   # counts; chi2 completes the r x c grid from two
+                   # dimension-sized marginals + 1-row total/dims;
+                   # doc-perplexity attaches the 1-row corpus (T, V)
+                   "t_closeness_census", "theil_sen_trend",
+                   "blocking_recall", "chi2_independence",
+                   "doc_perplexity"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
