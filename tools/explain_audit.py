@@ -73,7 +73,15 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # doc-perplexity attaches the 1-row corpus (T, V)
                    "t_closeness_census", "theil_sen_trend",
                    "blocking_recall", "chi2_independence",
-                   "doc_perplexity"}
+                   "doc_perplexity",
+                   # tier-30: WoE attaches a 1-row good/bad total;
+                   # the stump crosses rows with the 9-threshold
+                   # candidate broadcast (|rows| x 9 by design, the
+                   # pre-bucketed variant keeps the same plan); NB
+                   # fans tokens out |classes| ways via an explicit
+                   # tiny-dimension broadcast cross
+                   "woe_encoding", "decision_stump_train",
+                   "naive_bayes_score"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
