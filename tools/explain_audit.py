@@ -81,7 +81,13 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # fans tokens out |classes| ways via an explicit
                    # tiny-dimension broadcast cross
                    "woe_encoding", "decision_stump_train",
-                   "naive_bayes_score"}
+                   "naive_bayes_score",
+                   # tier-31 iterative scalar attaches: PCA rescales
+                   # the 64-row vector by a broadcast 1-row max each
+                   # round and attaches 1-row Rayleigh num/den;
+                   # the perceptron attaches the 1-row weight triple
+                   # and 3-number gradient per epoch
+                   "pca_top_component", "perceptron_train"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
