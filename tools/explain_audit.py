@@ -87,7 +87,11 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # round and attaches 1-row Rayleigh num/den;
                    # the perceptron attaches the 1-row weight triple
                    # and 3-number gradient per epoch
-                   "pca_top_component", "perceptron_train"}
+                   "pca_top_component", "perceptron_train",
+                   # tier-32: the CV stump crosses rows with the
+                   # broadcast 5-fold dimension and the per-fold
+                   # 9-candidate broadcast — both tiny by design
+                   "stump_cv"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
