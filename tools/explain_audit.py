@@ -91,7 +91,11 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # tier-32: the CV stump crosses rows with the
                    # broadcast 5-fold dimension and the per-fold
                    # 9-candidate broadcast — both tiny by design
-                   "stump_cv"}
+                   "stump_cv",
+                   # tier-33 scalar attaches: QN attaches the 1-row
+                   # global N; Kneser-Ney attaches the 1-row bigram
+                   # type total
+                   "quantile_normalization", "kneser_ney_bigram"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
