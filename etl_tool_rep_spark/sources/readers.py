@@ -136,6 +136,15 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(spark: SparkSession, path: str,
+             row_tag: str = "row") -> DataFrame:
+    """Beyond the reference (no XML there): Spark 4's built-in XML
+    source — schema inference + the same pushdown path as JSON.
+    ``row_tag`` names the repeating element that becomes a row."""
+    return (spark.read.format("xml")
+            .option("rowTag", row_tag).load(path))
+
+
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """One row per line (column ``value``) — the raw-corpus ingest
     path for unstructured text; pair with chunk/tokenize operators."""

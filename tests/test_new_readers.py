@@ -37,3 +37,18 @@ def test_binary_reader_content_and_glob(spark, tmp_path):
     assert rows[0]["length"] == 3
     assert bytes(rows[0]["content"]) == b"\x00\x01\x02"
     assert os.path.basename(rows[0]["path"]).endswith("a.bin")
+
+
+def test_xml_reader_rowtag(spark, tmp_path):
+    from etl_tool_rep_spark.sources import read_xml
+    p = tmp_path / "items.xml"
+    p.write_text(
+        "<items>"
+        "<item><id>1</id><name>alpha</name><price>9.50</price></item>"
+        "<item><id>2</id><name>beta</name><price>3.25</price></item>"
+        "</items>")
+    df = read_xml(spark, str(p), row_tag="item")
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["name"] == "alpha"
+    assert float(rows[2]["price"]) == 3.25
