@@ -95,7 +95,12 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # tier-33 scalar attaches: QN attaches the 1-row
                    # global N; Kneser-Ney attaches the 1-row bigram
                    # type total
-                   "quantile_normalization", "kneser_ney_bigram"}
+                   "quantile_normalization", "kneser_ney_bigram",
+                   # tier-34: the radius join crosses cells with the
+                   # broadcast 9-row offset grid (the provably-
+                   # complete neighbor search); the rollup fans rows
+                   # into the broadcast 3-row zoom dimension
+                   "spatial_radius_join", "spatial_cell_rollup"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
