@@ -100,7 +100,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # broadcast 9-row offset grid (the provably-
                    # complete neighbor search); the rollup fans rows
                    # into the broadcast 3-row zoom dimension
-                   "spatial_radius_join", "spatial_cell_rollup"}
+                   "spatial_radius_join", "spatial_cell_rollup",
+                   # tier-35 scalar attach: chi2 feature selection
+                   # attaches the 1-row total-document count
+                   "chi2_feature_select"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
