@@ -103,7 +103,15 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "spatial_radius_join", "spatial_cell_rollup",
                    # tier-35 scalar attach: chi2 feature selection
                    # attaches the 1-row total-document count
-                   "chi2_feature_select"}
+                   "chi2_feature_select",
+                   # tier-36: hill joins the 3-row broadcast k
+                   # dimension against the ranked head with rank
+                   # inequalities; negative sampling's lang<>lang
+                   # join is NLJ-shaped by definition — the anchor
+                   # side is a keyed 1/50 sample and production cuts
+                   # candidates by a hash-range filter first (see
+                   # docstring)
+                   "tail_index_hill", "negative_sampling"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
