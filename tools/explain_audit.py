@@ -111,7 +111,12 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # side is a keyed 1/50 sample and production cuts
                    # candidates by a hash-range filter first (see
                    # docstring)
-                   "tail_index_hill", "negative_sampling"}
+                   "tail_index_hill", "negative_sampling",
+                   # tier-37 scalar attaches: markov rescales by a
+                   # 1-row total each round and attaches the 1-row
+                   # entropy rate; dispersion attaches the 1-row
+                   # document count
+                   "markov_stationary_exact", "token_dispersion"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
