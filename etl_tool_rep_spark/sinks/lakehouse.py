@@ -73,6 +73,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,10 +87,13 @@ _DATA_DIR = "data"
 
 # key types whose footer stats we can harvest, JSON-serialize and
 # compare faithfully; anything else → no stats → file never pruned
-# (conservative, still correct)
+# (conservative, still correct). Float/Double are excluded: NaN merge
+# keys defeat BOTH pruning phases (NaN comparisons are False on the
+# driver and between() never matches NaN in Spark), so a file holding
+# a matching NaN key would be carried by reference while the NaN
+# update inserts — duplicate keys. No stats → always touched → exact.
 _STAT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-               T.FloatType, T.DoubleType, T.StringType, T.DateType,
-               T.TimestampType)
+               T.StringType, T.DateType, T.TimestampType)
 
 
 class CommitConflict(Exception):
@@ -201,7 +205,38 @@ class LakeTable:
 
     def _manifest(self, version: int) -> dict:
         with open(os.path.join(self._mdir, f"v{version:012d}.json")) as fh:
-            return json.load(fh)
+            return self._upgrade(json.load(fh), version)
+
+    def _upgrade(self, m: dict, version: int) -> dict:
+        """Back-compat for pre-rewrite manifests (ADVICE r6 #3): old
+        tables stored ``files`` as plain path strings and lack
+        ``batch_ids``/``schema``. Normalize in-memory on read — the
+        on-disk file is immutable; the NEXT commit writes the modern
+        format."""
+        files = m.get("files", [])
+        if files and isinstance(files[0], str):
+            m["files"] = [{"path": p, "stats": {}} for p in files]
+        if "batch_ids" not in m:
+            # legacy chain: derive the cumulative set by walking the
+            # raw manifests once (only ever pays on a legacy table's
+            # first post-upgrade access in this process)
+            ids = set()
+            for v in range(1, version + 1):
+                with open(os.path.join(
+                        self._mdir, f"v{v:012d}.json")) as fh:
+                    raw = json.load(fh)
+                if "batch_id" in raw:
+                    ids.add(raw["batch_id"])
+                ids.update(raw.get("batch_ids", []))
+            m["batch_ids"] = sorted(ids)
+        if "schema" not in m:
+            paths = [e["path"] for e in m["files"]]
+            if not paths:
+                raise ValueError(
+                    f"legacy manifest v{version} of {self.root!r} has "
+                    "no schema and no data files to infer one from")
+            m["schema"] = self.spark.read.parquet(paths[0]).schema.json()
+        return m
 
     def history(self) -> list[dict]:
         """Commit lineage, oldest first (reads every manifest — for
@@ -301,12 +336,25 @@ class LakeTable:
                                     cluster_by=cluster)
 
     def _check_schema(self, manifest: dict, df: DataFrame) -> None:
-        want = {f.name for f in self._schema(manifest).fields}
-        got = set(df.columns)
-        if want != got:
+        """Reject name OR type drift at commit time (ADVICE r6 #4):
+        a same-named column of a different type would write parquet
+        the enforced read schema later nulls/coerces or fails on —
+        the error belongs at the write, not at some future read.
+        Nullability is NOT compared: parquet round-trips everything
+        as nullable, so enforcing it would reject valid writes."""
+        want = {f.name: f.dataType
+                for f in self._schema(manifest).fields}
+        got = {f.name: f.dataType for f in df.schema.fields}
+        if set(want) != set(got):
             raise ValueError(
                 f"schema mismatch: table={sorted(want)} "
                 f"updates={sorted(got)}")
+        drift = {n: (str(want[n]), str(got[n]))
+                 for n in want if want[n] != got[n]}
+        if drift:
+            raise ValueError(
+                f"schema type mismatch (table_type, update_type): "
+                f"{drift}")
 
     # -- pruning ------------------------------------------------------
 
@@ -424,19 +472,31 @@ class LakeTable:
 
         def plan(manifest: dict) -> list[dict]:
             paths = [e["path"] for e in manifest["files"]]
-            by_uri = {"file://" + os.path.abspath(e["path"]): e
-                      for e in manifest["files"]}
+            by_path = {os.path.abspath(e["path"]): e
+                       for e in manifest["files"]}
             base = self._read_files(manifest, paths)
             if not paths:
                 return []
-            hit_uris = {
-                r["_lk_f"] for r in
-                (base.withColumn("_lk_f", F.input_file_name())
-                     .filter(F.coalesce(condition, F.lit(False)))
-                     .select("_lk_f").distinct().collect())}
+            # input_file_name() yields percent-encoded file:// URIs
+            # (a space becomes %20); decode back to a plain path
+            # before matching manifest entries, and fail loudly on a
+            # URI that maps to no entry — silently committing a DELETE
+            # that removed nothing is the worst outcome.
+            hit_paths = set()
+            for r in (base.withColumn("_lk_f", F.input_file_name())
+                          .filter(F.coalesce(condition, F.lit(False)))
+                          .select("_lk_f").distinct().collect()):
+                p = os.path.abspath(
+                    urllib.parse.unquote(
+                        urllib.parse.urlparse(r["_lk_f"]).path))
+                if p not in by_path:
+                    raise RuntimeError(
+                        f"delete_where: scanned file {r['_lk_f']!r} "
+                        f"matches no manifest entry of {self.root!r}")
+                hit_paths.add(p)
             touched, untouched = [], []
-            for uri, e in by_uri.items():
-                (touched if uri in hit_uris else untouched).append(e)
+            for p, e in by_path.items():
+                (touched if p in hit_paths else untouched).append(e)
             if not touched:
                 return list(manifest["files"])
             keep = (self._read_files(manifest,

@@ -331,3 +331,79 @@ def test_commit_reads_constant_manifests(spark, table):
     table._manifest = orig
     assert table.batch_ids() >= (
         {f"a{i}" for i in range(25)} | {"create", "final"})
+
+
+# -- ADVICE round-6 regressions ---------------------------------------
+
+
+def test_delete_under_percent_encoded_root(spark, tmp_path):
+    """ADVICE r6 #1 (high): input_file_name() returns percent-encoded
+    file:// URIs, so a table root containing a space used to make every
+    file look untouched and the DELETE silently committed nothing."""
+    from pyspark.sql import functions as F
+    root = str(tmp_path / "space probe" / "t")
+    t = LakeTable.create(
+        spark, root, _mk(spark, [(1, 10), (2, 20), (3, 30)]))
+    t.delete_where(F.col("k") == 2, batch_id="d1")
+    assert _rows(t.snapshot()) == [(1, 10), (3, 30)]
+
+
+def test_nan_float_merge_key_no_duplicates(spark, tmp_path):
+    """ADVICE r6 #2 (medium): a NaN double merge key escaped both
+    pruning phases (driver NaN comparisons are False; between() never
+    matches NaN), so the file holding the matching NaN row was carried
+    by reference while the NaN update inserted — duplicate keys. Floats
+    are now excluded from stats pruning: merge must match whole-snapshot
+    merge_upsert (eqNullSafe: NaN == NaN) exactly."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 20), (nan, -1)], "k double, v bigint")
+    t = LakeTable.create(spark, str(tmp_path / "t"), df,
+                         cluster_by="k", num_files=3)
+    t.merge(spark.createDataFrame([(nan, 99)], "k double, v bigint"),
+            "k", batch_id="b1")
+    import math
+    got = sorted(((r["k"], r["v"]) for r in t.snapshot().collect()),
+                 key=lambda p: (math.isnan(p[0]), p[0], p[1]))
+    norm = [("nan" if math.isnan(k) else k, v) for k, v in got]
+    assert norm == [(1.0, 10), (2.0, 20), ("nan", 99)]
+
+
+def test_legacy_manifest_readable_and_upgradable(spark, tmp_path):
+    """ADVICE r6 #3 (low): pre-rewrite manifests store ``files`` as
+    plain path strings and lack ``batch_ids``/``schema``. They must
+    stay readable (snapshot / batch_ids) and writable — the next
+    commit publishes the modern format."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, _mk(spark, [(1, 10), (2, 20)]),
+                         batch_id="create")
+    # rewrite v1 on disk in the legacy shape
+    m_path = os.path.join(root, "_manifest", "v000000000001.json")
+    with open(m_path) as fh:
+        m = json.load(fh)
+    legacy = {"version": 1, "parent": 0, "batch_id": "create",
+              "files": [e["path"] for e in m["files"]],
+              "committed_at": m["committed_at"]}
+    os.unlink(m_path)
+    with open(m_path, "w") as fh:
+        json.dump(legacy, fh)
+    t2 = LakeTable(spark, root)
+    assert _rows(t2.snapshot()) == [(1, 10), (2, 20)]
+    assert t2.batch_ids() == {"create"}
+    t2.append(_mk(spark, [(3, 30)]), batch_id="a1")
+    assert _rows(t2.snapshot()) == [(1, 10), (2, 20), (3, 30)]
+    with open(os.path.join(root, "_manifest",
+                           "v000000000002.json")) as fh:
+        modern = json.load(fh)
+    assert "schema" in modern and "batch_ids" in modern
+    assert isinstance(modern["files"][0], dict)
+
+
+def test_schema_type_drift_rejected_at_commit(spark, table):
+    """ADVICE r6 #4 (low): same names but different types must be
+    rejected at commit time, not discovered at a later read."""
+    bad = spark.createDataFrame([("9", 90)], "k string, v bigint")
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.append(bad, batch_id="bad")
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.merge(bad, "k", batch_id="bad2")
