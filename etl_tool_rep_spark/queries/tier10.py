@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import global_row_number
 from .registry import query
 
 
@@ -273,38 +274,23 @@ def equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     `histogram_bins`. Reports each decile's population, boundaries,
     and decimal-exact total.
 
-    Scale path (round 3): the global rank is a two-level prefix sum,
-    never a single-partition window. (1) range-partition by the sort
-    key — parallel sampled-boundary shuffle; (2) row_number within
-    each partition — windows partitioned by partition id, all
-    parallel; (3) per-partition counts (numPartitions rows) joined
-    into exclusive offsets with a broadcast triangular self-join, so
-    global_rank = offset[pid] + local_rn; (4) NTILE's bucket formula
-    applied arithmetically: the first n%10 buckets get n/10+1 rows.
-    Identical output to ntile(10), but the only data-sized shuffles
-    are the range partition and the final 10-group aggregate.
+    Scale path (round 7, was round 3): the global rank is the
+    bucketed two-phase `operators.rank.global_row_number` — literal
+    percentile boundaries give deterministic buckets (the old
+    `spark_partition_id()` shape could disagree with its own offsets
+    across re-evaluated range exchanges), row_number runs per bucket
+    in parallel, earlier-bucket counts arrive via a broadcast
+    triangular join; NTILE's bucket formula is then pure arithmetic:
+    the first n%10 buckets get n/10+1 rows. Identical output to
+    ntile(10) with no single-partition stage.
     """
     o = load(spark, sf_dir, "orders")
-    npart = spark.sparkContext.defaultParallelism
-    t = (o.select("o_totalprice", "o_orderkey")
-         .repartitionByRange(npart, F.asc("o_totalprice"),
-                             F.asc("o_orderkey"))
-         .withColumn("_pid", F.spark_partition_id()))
-    pc = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    # exclusive prefix offsets over numPartitions rows: broadcast
-    # triangular self-join (no global window, no warning)
-    x, y = pc.alias("x"), pc.alias("y")
-    offs = (x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"),
-                   "left")
-             .groupBy(F.col("x._pid").alias("_pid"))
-             .agg(F.coalesce(F.sum("y._c"), F.lit(0)).alias("_off")))
-    tot = pc.agg(F.sum("_c").alias("_n"))
-    wloc = (Window.partitionBy("_pid")
-            .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
-    r = (t.withColumn("_lrn", F.row_number().over(wloc))
-          .join(F.broadcast(offs), "_pid")
-          .crossJoin(F.broadcast(tot))
-          .withColumn("_r", F.col("_off") + F.col("_lrn")))
+    t = o.select("o_totalprice", "o_orderkey")
+    tot = t.agg(F.count(F.lit(1)).alias("_n"))
+    r = (global_row_number(t, [F.asc("o_totalprice"),
+                               F.asc("o_orderkey")],
+                           lead="o_totalprice", out="_r")
+         .crossJoin(F.broadcast(tot)))
     base = F.floor(F.col("_n") / 10)
     rem = F.col("_n") % 10
     head = rem * (base + 1)  # rows covered by the fat buckets

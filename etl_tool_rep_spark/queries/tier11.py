@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import grouped_prefix_sum
 from .registry import query
 
 
@@ -59,12 +60,13 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: running COUNT DISTINCT is not windowable, so it is
     decomposed: first-occurrence doc per word (one shuffle on word),
     new-word counts per doc (tiny), then cumulative sums over docs.
-    The cumulative sums are a two-level prefix sum (round 3), never a
-    single-partition window: range-partition by doc_id, local running
-    sums per partition (windows keyed by partition id, all parallel),
-    then per-partition totals (numPartitions rows) become exclusive
-    offsets via a broadcast triangular self-join — same pattern as
-    `equidepth_bins` / `pareto_frontier`. Works at any doc count.
+    The cumulative sums are the bucketed two-phase prefix sum from
+    `operators.rank.grouped_prefix_sum` (round 7; deterministic
+    literal-boundary buckets — the earlier `spark_partition_id()`
+    shape could disagree with its own offsets across re-evaluated
+    range exchanges), never a single-partition window — same utility
+    as `equidepth_bins` / `pareto_frontier` / `ks_test`. Works at
+    any doc count.
     """
     d = load(spark, sf_dir, "documents")
     words = d.select(
@@ -80,27 +82,12 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id",
                       F.col("n_tok").cast("bigint").alias("n_tok"),
                       nw.cast("bigint").alias("new_words")))
-    npart = spark.sparkContext.defaultParallelism
-    t = (joined.repartitionByRange(npart, F.asc("doc_id"))
-         .withColumn("_pid", F.spark_partition_id()))
-    wloc = (Window.partitionBy("_pid").orderBy(F.asc("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    t = (t.withColumn("_lv", F.sum("new_words").over(wloc))
-          .withColumn("_lt", F.sum("n_tok").over(wloc)))
-    pt = t.groupBy("_pid").agg(F.sum("new_words").alias("_sv"),
-                               F.sum("n_tok").alias("_st"))
-    x, y = pt.alias("x"), pt.alias("y")
-    offs = (x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"),
-                   "left")
-             .groupBy(F.col("x._pid").alias("_pid"))
-             .agg(F.coalesce(F.sum("y._sv"), F.lit(0)).alias("_ov"),
-                  F.coalesce(F.sum("y._st"), F.lit(0)).alias("_ot")))
-    return (t.join(F.broadcast(offs), "_pid")
-            .select("doc_id", "n_tok", "new_words",
-                    (F.col("_lv") + F.col("_ov")).cast("bigint")
-                     .alias("vocab_size"),
-                    (F.col("_lt") + F.col("_ot")).cast("bigint")
-                     .alias("cum_tok")))
+    t = grouped_prefix_sum(joined, [], [F.asc("doc_id")],
+                           lead="doc_id",
+                           sums={"_cv": "new_words", "_ct": "n_tok"})
+    return t.select("doc_id", "n_tok", "new_words",
+                    F.col("_cv").cast("bigint").alias("vocab_size"),
+                    F.col("_ct").cast("bigint").alias("cum_tok"))
 
 
 # ---------------------------------------------------------------------------

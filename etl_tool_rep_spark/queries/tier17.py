@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import grouped_prefix_sum
 from .registry import query
 
 
@@ -139,11 +140,10 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct-value pre-aggregation (groupBy value) collapses
     ties BEFORE any ordered pass, so the cumulative input is
-    |support|, not |sample|; the cumulative counts themselves are the
-    two-level prefix sum shared with vocab_growth (range-partition by
-    value, partition-local running sums — all parallel — then
-    per-partition totals become exclusive offsets via a broadcast
-    triangular join). No single-partition window anywhere.
+    |support|, not |sample|; the cumulative counts are the bucketed
+    two-phase prefix sum (`operators.rank.grouped_prefix_sum`,
+    deterministic literal-boundary buckets) shared with vocab_growth.
+    No single-partition window anywhere.
     """
     e = load(spark, sf_dir, "events")
     s = (e.filter(F.col("event_type").isin("click", "view"))
@@ -151,25 +151,10 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = (s.groupBy("value")
               .agg(F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("c1v"),
                    F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("c2v")))
-    npart = spark.sparkContext.defaultParallelism
-    t = (per_v.repartitionByRange(npart, F.asc("value"))
-              .withColumn("_pid", F.spark_partition_id()))
-    wloc = (Window.partitionBy("_pid").orderBy(F.asc("value"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    t = (t.withColumn("_l1", F.sum("c1v").over(wloc))
-          .withColumn("_l2", F.sum("c2v").over(wloc)))
-    pt = t.groupBy("_pid").agg(F.sum("c1v").alias("_s1"),
-                               F.sum("c2v").alias("_s2"))
-    x, y = pt.alias("x"), pt.alias("y")
-    offs = (x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"),
-                   "left")
-             .groupBy(F.col("x._pid").alias("_pid"))
-             .agg(F.coalesce(F.sum("y._s1"), F.lit(0)).alias("_o1"),
-                  F.coalesce(F.sum("y._s2"), F.lit(0)).alias("_o2")))
-    cum = (t.join(F.broadcast(offs), "_pid")
-            .select("value",
-                    (F.col("_l1") + F.col("_o1")).alias("c1"),
-                    (F.col("_l2") + F.col("_o2")).alias("c2")))
+    cum = (grouped_prefix_sum(per_v, [], [F.asc("value")],
+                              lead="value",
+                              sums={"c1": "c1v", "c2": "c2v"})
+           .select("value", "c1", "c2"))
     n = s.agg(F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("n1"),
               F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("n2"))
     g = (cum.crossJoin(F.broadcast(n))  # 1-row scalar attach

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import grouped_row_number
 from .registry import query
 
 
@@ -146,14 +147,31 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per market segment, WITHOUT the
+    native window: only ~5 segments exist, so a partitioned window
+    is one task per segment — n/5 rows each at 100 TB. The ORDER BY
+    is total (custkey tiebreak), so rank == row_number, cume_dist ==
+    rk/ng and percent_rank == (rk-1)/(ng-1); the rank comes from the
+    bucketed two-phase `operators.rank.grouped_row_number` (round 7)
+    and the group sizes from a broadcast 5-row aggregate. Same
+    doubles as the native functions (identical operand division)."""
     c = load(spark, sf_dir, "customer")
-    w = (Window.partitionBy("c_mktsegment")
-         .orderBy(F.col("c_acctbal").asc_nulls_last(),
-                  F.col("c_custkey").asc()))
-    return c.select(
+    ngs = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ng"))
+    r = (grouped_row_number(
+            c, ["c_mktsegment"],
+            [F.col("c_acctbal").asc_nulls_last(),
+             F.col("c_custkey").asc()],
+            lead="c_acctbal", nulls_last=True, out="_rk")
+         .join(F.broadcast(ngs), "c_mktsegment"))
+    pct = F.when(F.col("_ng") > 1,
+                 (F.col("_rk") - 1).cast("double")
+                 / (F.col("_ng") - 1).cast("double")).otherwise(0.0)
+    return r.select(
         F.col("c_custkey").alias("ckey"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"))
+        F.round(pct, 9).alias("pct_rank"),
+        F.round(F.col("_rk").cast("double")
+                / F.col("_ng").cast("double"), 9).alias("cume"))
 
 
 @query(

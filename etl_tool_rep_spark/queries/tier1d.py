@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import grouped_prefix_sum
 from .registry import query
 
 
@@ -91,6 +92,44 @@ def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "yyyy-MM").alias("ym"))
 
 
+def _exact_qcont(li, col: str, q: float, out: str):
+    """Exact linear-interpolated quantile per l_returnflag WITHOUT
+    buffering a group in memory: a (rf, value)-census collapses ties,
+    the bucketed two-phase prefix sum ranks the support, and the two
+    order statistics around position q*(n-1) are picked by cumulative
+    range and interpolated with the textbook lo*(ceil-pos) +
+    hi*(pos-floor) formula — the same doubles Spark's `percentile`
+    and DuckDB's `quantile_cont` produce. Returns |groups| rows."""
+    per = li.groupBy("l_returnflag", col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    cum = grouped_prefix_sum(per, ["l_returnflag"], [F.asc(col)],
+                             lead=col, sums={"_cum": "_cnt"})
+    ns = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"))
+    j = cum.join(F.broadcast(ns), "l_returnflag")
+    pos = (F.col("_n") - 1).cast("double") * F.lit(q)
+    ilo = F.floor(pos).cast("bigint")
+    ihi = F.ceil(pos).cast("bigint")
+    v = F.col(col).cast("double")
+    lo = (j.filter((F.col("_cum") - F.col("_cnt") <= ilo)
+                   & (ilo < F.col("_cum")))
+          .select("l_returnflag", v.alias("_vlo"),
+                  pos.alias("_pos"), ilo.alias("_ilo"),
+                  ihi.alias("_ihi")))
+    hi = (j.filter((F.col("_cum") - F.col("_cnt") <= ihi)
+                   & (ihi < F.col("_cum")))
+          .select("l_returnflag", v.alias("_vhi")))
+    res = lo.join(hi, "l_returnflag").select(
+        "l_returnflag",
+        F.when(F.col("_ilo") == F.col("_ihi"), F.col("_vlo"))
+        .otherwise(F.col("_vlo")
+                   * (F.col("_ihi").cast("double") - F.col("_pos"))
+                   + F.col("_vhi")
+                   * (F.col("_pos") - F.col("_ilo").cast("double")))
+        .alias(out))
+    return res
+
+
 @query(
     "percentile_window",
     oracle="""
@@ -104,21 +143,24 @@ def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles as window (whole-partition) aggregates —
-    every row annotated with its group's median/p90 without a join
-    back. At scale the percentile state is a per-group sort buffer;
-    for 100 TB swap percentile -> approx_percentile (same shape,
-    bounded memory, see approx_quantiles)."""
+    """Exact per-group median/p90 annotated onto every row. Round 7:
+    no whole-partition percentile window (that buffers n/|groups|
+    rows in ONE task per group at 100 TB) — the exact interpolated
+    quantiles come from a distinct-value census + two-phase prefix
+    sum (`_exact_qcont`), then a 3-row broadcast join attaches them
+    to every row. Same values as `percentile(...) OVER (PARTITION
+    BY rf)` for continuous interpolation on the total group."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag")
-    return li.select(
-        F.col("l_orderkey").alias("okey"),
-        F.col("l_linenumber").alias("lnum"),
-        F.col("l_returnflag").alias("rf"),
-        F.round(F.percentile("l_quantity", F.lit(0.5)).over(w), 6)
-         .alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)).over(w), 6)
-         .alias("p90_price"))
+    med = _exact_qcont(li, "l_quantity", 0.5, "_med")
+    p90 = _exact_qcont(li, "l_extendedprice", 0.9, "_p90")
+    stats = med.join(p90, "l_returnflag")
+    return (li.join(F.broadcast(stats), "l_returnflag")
+            .select(
+                F.col("l_orderkey").alias("okey"),
+                F.col("l_linenumber").alias("lnum"),
+                F.col("l_returnflag").alias("rf"),
+                F.round(F.col("_med"), 6).alias("median_qty"),
+                F.round(F.col("_p90"), 6).alias("p90_price")))
 
 
 @query(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import global_row_number, grouped_prefix_sum
 from .registry import query
 
 _LNQ = ("CAST(FLOOR(LN(CAST({v} AS DOUBLE)) * 1000000.0 + 0.5)"
@@ -188,10 +189,13 @@ def decision_stump_train(spark: SparkSession,
     deterministic min-threshold tie-break. This is the inner loop of
     every tree ensemble, certified end to end.
 
-    Scale: the candidate x row pass is |rows| x 9 — at 100 TB the
-    same plan pre-aggregates rows into (cents-bucket, y) cells first
-    (the `histogram_bins` trick) making it |buckets| x 9; the decile
-    cut runs on the ranked single-column projection. Nothing
+    Scale (round 7): the decile cut's global rank is the bucketed
+    two-phase `operators.rank.global_row_number` (literal percentile
+    boundaries, per-bucket windows, broadcast offsets — no
+    single-partition sort); n rides in as a 1-row broadcast scalar.
+    The candidate x row pass is |rows| x 9 — at 100 TB the same plan
+    pre-aggregates rows into (cents-bucket, y) cells first (the
+    `histogram_bins` trick) making it |buckets| x 9. Nothing
     quadratic, nothing driver-side.
     """
     od = load(spark, sf_dir, "orders")
@@ -200,18 +204,16 @@ def decision_stump_train(spark: SparkSession,
         .cast("bigint").alias("cents"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
         .alias("y"))
-    wr = Window.orderBy("cents", "y")
-    ranked = (lab
-              .withColumn("rk", F.row_number().over(wr))
-              .withColumn("n", F.count(F.lit(1))
-                          .over(Window.partitionBy()).cast("bigint")))
+    stats = lab.agg(F.sum("y").cast("bigint").alias("pos"),
+                    F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (global_row_number(lab, [F.asc("cents"), F.asc("y")],
+                                lead="cents", out="rk")
+              .crossJoin(F.broadcast(stats.select("n"))))
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
     cand = (ranked.join(
         F.broadcast(ks),
         F.col("rk") == F.expr("(k * n) DIV 10"))
         .select(F.col("cents").alias("thr")).distinct())
-    stats = lab.agg(F.sum("y").cast("bigint").alias("pos"),
-                    F.count(F.lit(1)).cast("bigint").alias("n"))
     split = (F.broadcast(cand.crossJoin(stats))
              .join(lab, F.lit(True))
              .groupBy("thr", "pos", "n")
@@ -417,10 +419,14 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT; U and the normal-approximation z-score (IEEE sqrt
     on an identical double) follow in one quantized expression.
 
-    Scale: one global sort-rank over the metric column (the same
-    shuffle `percent_rank_cume` pays), then a single aggregation —
-    no per-pair work (the naive U definition is quadratic; the
-    rank-sum identity is what makes it a sort instead).
+    Scale (round 7): no per-row rank at all — a rank-sum only needs
+    DISTINCT-value cumulative counts. One (cents)-census groupBy
+    collapses ties (|support| rows), the bucketed two-phase prefix
+    sum (`operators.rank.grouped_prefix_sum`) ranks the support in
+    parallel, and every tied block contributes hi * (2*r_lo + tie -
+    1) in closed form. No per-pair work (the naive U definition is
+    quadratic; the rank-sum identity makes it a census instead), no
+    single-partition window.
     """
     od = load(spark, sf_dir, "orders")
     samp = od.select(
@@ -428,19 +434,19 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                "hi").otherwise("lo").alias("grp"),
         F.floor(F.col("o_totalprice") * 100.0 + 0.5)
         .cast("bigint").alias("cents"))
-    ranked = (samp
-              .withColumn("r_lo", F.rank().over(
-                  Window.orderBy("cents")).cast("bigint"))
-              .withColumn("tie", F.count(F.lit(1)).over(
-                  Window.partitionBy("cents")).cast("bigint")))
-    sums = ranked.agg(
-        F.sum(F.when(F.col("grp") == "hi",
-                     2 * F.col("r_lo") + F.col("tie") - 1)
-              .otherwise(0)).cast("bigint").alias("r2_hi"),
+    per = samp.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tie"),
         F.sum(F.when(F.col("grp") == "hi", 1).otherwise(0))
-        .cast("bigint").alias("n1"),
-        F.sum(F.when(F.col("grp") == "lo", 1).otherwise(0))
-        .cast("bigint").alias("n2"))
+        .cast("bigint").alias("hi"))
+    cum = grouped_prefix_sum(per, [], [F.asc("cents")],
+                             lead="cents", sums={"cum": "tie"})
+    # r_lo (min ordinal rank of the tied block) = cum - tie + 1
+    sums = cum.agg(
+        F.sum(F.col("hi") * (2 * (F.col("cum") - F.col("tie") + 1)
+                             + F.col("tie") - 1))
+        .cast("bigint").alias("r2_hi"),
+        F.sum("hi").cast("bigint").alias("n1"),
+        F.sum(F.col("tie") - F.col("hi")).cast("bigint").alias("n2"))
     return sums.select(
         "n1", "n2",
         F.expr("CAST(CAST(r2_hi - n1 * (n1 + 1) AS DOUBLE) / 2.0"

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import global_row_number, grouped_row_number
 from .registry import query
 
 _LNQ = ("CAST(FLOOR(LN(CAST({v} AS DOUBLE)) * 1000000.0 + 0.5)"
@@ -189,11 +190,13 @@ def quantile_normalization(spark: SparkSession,
     heavy-duty sibling of `grouped_zscore`. Exact end to end: ranks,
     positions, and the mapped values are all BIGINTs.
 
-    Scale: two rank windows (one per-group, one global) and one
-    equi-join on position. The global rank is the same single sort
-    `percent_rank_cume` pays; at 100 TB replace the exact global
-    rank with the `equidepth_bins` quantile sketch and interpolate —
-    same plan shape, bounded state.
+    Scale (round 7): BOTH ranks are the bucketed two-phase
+    `operators.rank` utilities — the per-group rank via
+    `grouped_row_number` (hot 5-value `prio` groups spread across
+    buckets, not one task per group) and the global rank via
+    `global_row_number`; group sizes and n are broadcast attaches;
+    one equi-join on position. No single-partition (or
+    single-group-task) sort anywhere.
     """
     od = load(spark, sf_dir, "orders")
     vals = od.select(
@@ -201,18 +204,16 @@ def quantile_normalization(spark: SparkSession,
         F.col("o_orderpriority").alias("prio"),
         F.floor(F.col("o_totalprice") * 100.0 + 0.5)
         .cast("bigint").alias("cents"))
-    wg = Window.partitionBy("prio").orderBy("cents", "k")
-    grp = (vals
-           .withColumn("rk", F.row_number().over(wg))
-           .withColumn("ng", F.count(F.lit(1)).over(
-               Window.partitionBy("prio")).cast("bigint")))
-    wgl = Window.orderBy("cents", "k")
-    glob = (vals
-            .withColumn("pos", F.row_number().over(wgl))
-            .withColumn("n", F.count(F.lit(1)).over(
-                Window.partitionBy()).cast("bigint")))
+    ngs = vals.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"))
+    grp = (grouped_row_number(vals, ["prio"],
+                              [F.asc("cents"), F.asc("k")],
+                              lead="cents", out="rk")
+           .join(F.broadcast(ngs), "prio"))
+    glob = global_row_number(vals, [F.asc("cents"), F.asc("k")],
+                             lead="cents", out="pos")
     gl = glob.select(F.col("cents").alias("gval"), "pos")
-    nrow = glob.agg(F.max("n").alias("nn"))
+    nrow = vals.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     mapped = (grp.crossJoin(F.broadcast(nrow))
               .select("k", "prio", "cents",
                       F.expr("((2 * rk - 1) * nn + ng)"

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import global_row_number
 from .registry import query
 
 _LNQ = ("CAST(FLOOR(LN(CAST({v} AS DOUBLE)) * 1000000.0 + 0.5)"
@@ -170,15 +171,19 @@ def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is an exact BIGINT and alpha one quantized division; showing
     three k values is the standard Hill-plot stability check.
 
-    Scale: one global top-k rank (the `topk_limit` shuffle shape —
-    at 100 TB use the `heavy_hitters`/quantile-sketch cut to
-    pre-filter to the approximate top slice first), then k-sized
-    arithmetic.
+    Scale (round 7): only ranks <= 401 are ever consumed, so the
+    plan takes the top 401 rows FIRST — `orderBy(desc).limit(401)`
+    is Spark's TakeOrderedAndProject, a per-partition top-k + one
+    401-row driver merge, never a global sort — and ranks the
+    401-row frame (the one remaining unpartitioned window runs over
+    a provably tiny limit output). Boundary ties are safe: rank>401
+    rows are never read, and tied rows carry equal `cents`.
     """
     od = load(spark, sf_dir, "orders")
     v = od.select(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
                   .cast("bigint").alias("cents"))
-    ranked = v.withColumn(
+    top = v.orderBy(F.desc("cents")).limit(401)
+    ranked = top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("cents"))))
     ks = spark.createDataFrame([(100,), (200,), (400,)], "k long")
     kth = (F.broadcast(ks)
@@ -251,9 +256,12 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     model review opens with (`auc_metric` summarizes it to one
     number; the lift table shows WHERE the model earns it).
 
-    Scale: one global rank (same shuffle as `percent_rank_cume`),
-    integer decile assignment, a 10-row aggregate and one window
-    over those 10 rows.
+    Scale (round 7): the global rank is the bucketed two-phase
+    `operators.rank.global_row_number` (literal percentile
+    boundaries, per-bucket windows, broadcast offsets — no
+    single-partition sort); n/pos arrive as a 1-row broadcast
+    scalar attach; then integer decile assignment, a 10-row
+    aggregate and one window over those 10 rows.
     """
     od = load(spark, sf_dir, "orders")
     scored = od.select(
@@ -262,14 +270,14 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
         .alias("y"),
         F.col("o_orderkey").alias("k"))
-    wall = Window.partitionBy()
-    ranked = (scored
-              .withColumn("rk", F.row_number().over(
-                  Window.orderBy(F.desc("score"), F.asc("k"))))
-              .withColumn("n", F.count(F.lit(1)).over(wall)
-                          .cast("bigint"))
-              .withColumn("pos", F.sum("y").over(wall)
-                          .cast("bigint")))
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"))
+    ranked = (global_row_number(scored,
+                                [F.desc("score"), F.asc("k")],
+                                lead="score", ascending=False,
+                                out="rk")
+              .crossJoin(F.broadcast(stats)))  # 1-row scalar attach
     dec = ranked.select(
         F.expr("((rk - 1) * 10) DIV n + 1").alias("decile"),
         "y", "n", "pos")

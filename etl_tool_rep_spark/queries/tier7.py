@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import grouped_prefix_sum
 from .registry import query
 
 
@@ -27,30 +28,21 @@ def pareto_frontier(s: DataFrame) -> DataFrame:
     tiebreak makes exact (date, price) duplicates deterministic: the
     lowest okey survives, in every engine.
 
-    The running max is a two-level prefix max, never a global window:
-    (1) range-partition by the total order (parallel sampled-boundary
-    shuffle); (2) local running max per partition — windows keyed by
-    partition id, all parallel; (3) per-partition max prices
-    (numPartitions rows) turn into exclusive prefix maxima via a
-    broadcast triangular self-join; (4) global cummax =
-    greatest(local cummax, earlier-partitions max). No
-    single-partition stage anywhere, any skyline size.
+    The running max is the bucketed two-phase prefix max from
+    `operators.rank.grouped_prefix_sum` (exclusive frame): literal
+    percentile boundaries on the date give every row a deterministic
+    bucket, local running maxes run per bucket in parallel, and
+    earlier-bucket maxima arrive via a broadcast triangular join. No
+    single-partition stage — and no `spark_partition_id()` (whose
+    pid-vs-offsets consistency across re-evaluated range exchanges
+    is not guaranteed; see operators/rank.py). Any skyline size.
     """
-    npart = s.sparkSession.sparkContext.defaultParallelism
     order = [F.asc("odate"), F.desc("price"), F.asc("okey")]
-    t = (s.repartitionByRange(npart, *order)
-          .withColumn("_pid", F.spark_partition_id()))
-    wloc = (Window.partitionBy("_pid").orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, -1))
-    t = t.withColumn("_lcm", F.max("price").over(wloc))
-    pm = t.groupBy("_pid").agg(F.max("price").alias("_pm"))
-    x, y = pm.alias("x"), pm.alias("y")
-    prev = (x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"),
-                   "left")
-             .groupBy(F.col("x._pid").alias("_pid"))
-             .agg(F.max("y._pm").alias("_prevmax")))
-    r = (t.join(F.broadcast(prev), "_pid")
-          .withColumn("cummax", F.greatest("_lcm", "_prevmax")))
+    r = grouped_prefix_sum(s, [], order,
+                           lead=F.unix_micros(
+                               F.col("odate").cast("timestamp")),
+                           sums={"cummax": ("price", "max")},
+                           inclusive=False)
     return (r.filter(F.col("cummax").isNull()
                      | (F.col("price") > F.col("cummax")))
              .select("okey", "odate", "price"))

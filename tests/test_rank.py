@@ -1,0 +1,116 @@
+"""operators/rank.py — the bucketed two-phase exact rank / prefix
+aggregate (round 7). Semantics are pinned against the native window
+functions on hand fixtures: same values, no single-partition sort.
+
+Also pins the REASON the utility exists: the earlier
+repartitionByRange + spark_partition_id() shape could disagree with
+its own offsets when the range exchange re-evaluates with different
+sampled boundaries (observed ~74% wrong ranks on a 2k-row frame),
+while the literal-boundary bucket id is a pure function of the data.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_tool_rep_spark.operators.rank import (
+    global_row_number, grouped_prefix_sum, grouped_row_number,
+    lead_bucket)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    random.seed(7)
+    rows = [(random.choice("abc"), random.randint(0, 50), i)
+            for i in range(2000)]
+    rows += [(random.choice("abc"), None, 2000 + i) for i in range(20)]
+    return spark.createDataFrame(rows, "g string, v int, k long")
+
+
+def _diff(a, b, cols):
+    return (a.select(*cols).subtract(b.select(*cols)).count()
+            + b.select(*cols).subtract(a.select(*cols)).count())
+
+
+def test_global_row_number_desc_nulls_last(frame):
+    want = frame.withColumn("rk", F.row_number().over(
+        Window.orderBy(F.desc("v"), "k")))
+    got = global_row_number(frame, [F.desc("v"), F.col("k").asc()],
+                            lead="v", ascending=False, nulls_last=True)
+    assert _diff(want, got, ["g", "v", "k", "rk"]) == 0
+
+
+def test_grouped_row_number_matches_window(frame):
+    want = frame.withColumn("rk", F.row_number().over(
+        Window.partitionBy("g")
+        .orderBy(F.col("v").asc_nulls_last(), "k")))
+    got = grouped_row_number(
+        frame, ["g"], [F.col("v").asc_nulls_last(), F.col("k")],
+        lead="v", nulls_last=True)
+    assert _diff(want, got, ["g", "v", "k", "rk"]) == 0
+
+
+def test_grouped_prefix_sum_matches_window(frame):
+    per = (frame.filter(F.col("v").isNotNull())
+           .groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt")))
+    want = per.withColumn("cum", F.sum("cnt").over(
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    got = grouped_prefix_sum(per, ["g"], ["v"], lead="v",
+                             sums={"cum": "cnt"})
+    assert _diff(want, got, ["g", "v", "cnt", "cum"]) == 0
+
+
+def test_exclusive_prefix_max_matches_window(frame):
+    order = [F.asc("k"), F.desc("v")]
+    want = frame.withColumn("cm", F.max("v").over(
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    got = grouped_prefix_sum(frame, [], order, lead="k",
+                             sums={"cm": ("v", "max")},
+                             inclusive=False)
+    assert _diff(want, got, ["g", "v", "k", "cm"]) == 0
+
+
+def test_deterministic_across_reevaluations(frame):
+    """The same plan evaluated several times must give identical
+    ranks — the property the spark_partition_id() shape lacked."""
+    got = global_row_number(frame, [F.col("v").asc_nulls_last(),
+                                    F.asc("k")],
+                            lead="v", nulls_last=True)
+    first = sorted((r["k"], r["rk"]) for r in got.collect())
+    for _ in range(2):
+        again = sorted((r["k"], r["rk"]) for r in got.collect())
+        assert again == first
+
+
+def test_no_unpartitioned_window_in_plan(frame):
+    """The physical plan must not contain a WindowExec with an empty
+    partition spec (the single-task shape the utility replaces)."""
+    got = global_row_number(frame, [F.asc("v"), F.asc("k")],
+                            lead="v", nulls_last=True)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # partition spec sits right before the ORDER spec:
+            # windowspecdefinition(part..., order ASC ...) — an
+            # empty spec starts with the order column directly
+            assert "windowspecdefinition(" in line
+            inner = line.split("windowspecdefinition(", 1)[1]
+            assert not inner.lstrip().startswith("v#"), line
+
+
+def test_lead_bucket_is_order_consistent(frame):
+    nn = frame.filter(F.col("v").isNotNull())
+    b = nn.select("v", lead_bucket(nn, "v").alias("b"))
+    # bucket order must respect value order: max(v) in bucket i <=
+    # min(v) in bucket i+1 for every adjacent pair
+    rows = (b.groupBy("b").agg(F.min("v").alias("lo"),
+                               F.max("v").alias("hi"))
+            .orderBy("b").collect())
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"]
