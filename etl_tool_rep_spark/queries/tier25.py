@@ -189,3 +189,53 @@ def lakehouse_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_read_skipping",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_CENTS} AS cents
+      FROM orders
+    ), hit AS (
+      SELECT * FROM base WHERE k BETWEEN 1000 AND 2000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key,
+           TRUE AS files_skipped
+    FROM hit
+    """,
+)
+def lakehouse_read_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-path data skipping behind the exact gate (round-7 verdict
+    item #7): create a key-clustered table (disjoint per-file ranges),
+    then `read_where` a key range — the scan must OPEN only the files
+    whose footer [min,max] intersects the range (files_skipped pins
+    that fewer files were scanned than exist) while returning rows
+    identical to a full-scan filter (the oracle's plain SQL). At
+    100 TB this turns a table scan into a clustered range read.
+    Reference capability match: none (the reference has no storage
+    layer) — 100 TB mandate."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(F.col("o_orderkey").alias("k"),
+                         F.expr(_CENTS).alias("cents"))
+
+    root = tempfile.mkdtemp(prefix="etl_lakehouse_skip_")
+    try:
+        t = LakeTable.create(spark, root, base, batch_id="create",
+                             cluster_by="k", num_files=16)
+        conds = [("k", "between", (1000, 2000))]
+        kept, total = t.pruned_files(conds)
+        agg = (t.read_where(conds)
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("cents").alias("sum_cents"),
+                    F.min("k").alias("min_key"),
+                    F.max("k").alias("max_key"))
+               .withColumn("files_skipped",
+                           F.lit(bool(len(kept) < total))))
+        rows = agg.collect()                 # 1 row, then cleanup
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

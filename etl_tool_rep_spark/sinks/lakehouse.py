@@ -271,6 +271,89 @@ class LakeTable:
         m = self._manifest(v)
         return self._read_files(m, [e["path"] for e in m["files"]])
 
+    @staticmethod
+    def _file_may_match(st: dict | None, dtype, op: str, value) -> bool:
+        """Could a row of a file with footer stats ``st`` satisfy
+        ``col <op> value``? Missing stats → True (conservative). All
+        ops here are NULL-rejecting (SQL: NULL never compares true),
+        so null counts don't force a keep."""
+        if st is None:
+            return True
+        fmin = _native_stat(st["min"], dtype)
+        fmax = _native_stat(st["max"], dtype)
+        if op == "=":
+            return value is not None and fmin <= value <= fmax
+        if op == "<":
+            return value is not None and fmin < value
+        if op == "<=":
+            return value is not None and fmin <= value
+        if op == ">":
+            return value is not None and fmax > value
+        if op == ">=":
+            return value is not None and fmax >= value
+        if op == "between":
+            lo, hi = value
+            return lo is not None and hi is not None \
+                and fmax >= lo and fmin <= hi
+        if op == "in":
+            return any(v is not None and fmin <= v <= fmax
+                       for v in value)
+        raise ValueError(f"unsupported read_where op: {op!r}")
+
+    def pruned_files(self, conditions, version: int | None = None
+                     ) -> tuple[list[dict], int]:
+        """Manifest entries surviving footer-stat data skipping for the
+        ANDed simple ``(col, op, value)`` conditions, plus the total
+        file count. Pure manifest arithmetic — no file is opened."""
+        v = self.version() if version is None else version
+        if v < 1:
+            raise ValueError(f"no snapshot at version {v} in {self.root}")
+        m = self._manifest(v)
+        schema = self._schema(m)
+        kept = []
+        for e in m["files"]:
+            keep = True
+            for col, op, value in conditions:
+                st = e.get("stats", {}).get(col)
+                if not self._file_may_match(st, schema[col].dataType,
+                                            op, value):
+                    keep = False
+                    break
+            if keep:
+                kept.append(e)
+        return kept, len(m["files"])
+
+    def read_where(self, conditions,
+                   version: int | None = None) -> DataFrame:
+        """Stats-pruned read (data skipping — the Iceberg/Delta scan
+        shape, round-7 verdict item #7). ``conditions`` is a list of
+        simple predicates ``(col, op, value)`` with ``op`` in
+        ``= < <= > >= between in`` (``between`` takes a ``(lo, hi)``
+        tuple, ``in`` a list), ANDed together. Files whose footer
+        [min, max] for a condition column PROVABLY exclude every
+        matching row are dropped from the scan without being opened;
+        the same conditions are then applied exactly as a residual
+        row filter, so the result equals
+        ``snapshot(version).filter(...)`` row-for-row. At 100 TB this
+        is the difference between scanning one clustered key range
+        and scanning the table. Stats exist for ``cluster_by``
+        columns; conditions on other columns filter rows but skip no
+        files."""
+        v = self.version() if version is None else version
+        kept, _total = self.pruned_files(conditions, v)
+        m = self._manifest(v)
+        df = self._read_files(m, [e["path"] for e in kept])
+        ops = {"=": lambda c, x: F.col(c) == F.lit(x),
+               "<": lambda c, x: F.col(c) < F.lit(x),
+               "<=": lambda c, x: F.col(c) <= F.lit(x),
+               ">": lambda c, x: F.col(c) > F.lit(x),
+               ">=": lambda c, x: F.col(c) >= F.lit(x),
+               "between": lambda c, x: F.col(c).between(*x),
+               "in": lambda c, x: F.col(c).isin(list(x))}
+        for col, op, value in conditions:
+            df = df.filter(ops[op](col, value))
+        return df
+
     # -- write --------------------------------------------------------
 
     def _write_data(self, df: DataFrame,

@@ -407,3 +407,74 @@ def test_schema_type_drift_rejected_at_commit(spark, table):
         table.append(bad, batch_id="bad")
     with pytest.raises(ValueError, match="type mismatch"):
         table.merge(bad, "k", batch_id="bad2")
+
+
+# --- read-path data skipping (round-7 verdict item #7) ---------------
+
+def test_read_where_skips_files(spark, clustered):
+    """A point/range read on the cluster key must open only the files
+    whose footer [min,max] can contain matches — file-count asserted,
+    results row-identical to the full-scan filter."""
+    t = clustered
+    kept, total = t.pruned_files([("k", "between", (100, 120))])
+    assert total == 8
+    assert 1 <= len(kept) < total
+    got = sorted(r["k"] for r in
+                 t.read_where([("k", "between", (100, 120))]).collect())
+    assert got == list(range(100, 121))
+
+    kept_eq, _ = t.pruned_files([("k", "=", 500)])
+    assert len(kept_eq) == 1
+    rows = t.read_where([("k", "=", 500)]).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 5000
+
+
+def test_read_where_matches_snapshot_filter(spark, clustered):
+    """Pruned read == snapshot().filter(...) for every supported op."""
+    from pyspark.sql import functions as F
+    t = clustered
+    cases = [
+        ([("k", "<", 50)], F.col("k") < 50),
+        ([("k", ">=", 950)], F.col("k") >= 950),
+        ([("k", "in", [3, 400, 999])], F.col("k").isin([3, 400, 999])),
+        ([("k", ">", 200), ("k", "<=", 260)],
+         (F.col("k") > 200) & (F.col("k") <= 260)),
+    ]
+    for conds, col in cases:
+        got = sorted(r["k"] for r in t.read_where(conds).collect())
+        want = sorted(r["k"] for r in
+                      t.snapshot().filter(col).collect())
+        assert got == want, conds
+
+
+def test_read_where_no_match_returns_typed_empty(spark, clustered):
+    df = clustered.read_where([("k", ">", 10_000)])
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    # all 8 files pruned — nothing opened
+    kept, _ = clustered.pruned_files([("k", ">", 10_000)])
+    assert kept == []
+
+
+def test_read_where_unclustered_column_keeps_all_files(spark, clustered):
+    """Conditions on non-stat columns skip no files but still filter
+    rows exactly (conservative fallback)."""
+    t = clustered
+    kept, total = t.pruned_files([("v", "=", 5000)])
+    assert len(kept) == total
+    rows = t.read_where([("v", "=", 5000)]).collect()
+    assert len(rows) == 1 and rows[0]["k"] == 500
+
+
+def test_read_where_stats_survive_merge(spark, clustered):
+    """After a file-granular merge, the carried + rewritten files both
+    keep prunable stats: a disjoint-range read still skips files."""
+    from pyspark.sql import functions as F
+    t = clustered
+    ups = spark.createDataFrame([(5, -1), (7, -2)], ["k", "v"])
+    t.merge(ups, "k", batch_id="m1")
+    kept, total = t.pruned_files([("k", "between", (900, 950))])
+    assert len(kept) < total
+    got = {r["k"]: r["v"] for r in
+           t.read_where([("k", "in", [5, 7, 900])]).collect()}
+    assert got == {5: -1, 7: -2, 900: 9000}

@@ -97,3 +97,53 @@ def test_pushdown_and_pruning(spark, sf_dir, name, table, want_pushed,
 def test_all_case_queries_still_registered():
     for name, *_ in CASES:
         assert name in QUERIES
+
+
+# --- window-partitioning gate (round-7 verdict item #3) -------------
+# A Window with an EMPTY partition spec over a fact-sized frame is a
+# single-task global sort at scale. tools/explain_audit.py carries the
+# rule (with a bounded-frame allowlist); these tests pin it in CI for
+# the family that shipped the hazard in round 6, plus a negative case
+# proving the rule actually fires on a deliberately-broken plan.
+
+_REPLANNED = [
+    "tail_index_hill", "decile_lift", "decision_stump_train",
+    "mann_whitney_u", "quantile_normalization", "percent_rank_cume",
+    "percentile_window", "skyline_pareto", "equidepth_bins",
+    "vocab_growth", "ks_test",
+]
+
+
+@pytest.mark.parametrize("name", _REPLANNED)
+def test_no_unpartitioned_window_over_fact_frame(spark, sf_dir, name):
+    from tools.explain_audit import audit_window_partitions
+    df = QUERIES[name](spark, sf_dir)
+    assert audit_window_partitions(name, df) == []
+
+
+def test_window_rule_fires_on_global_sort(spark, sf_dir):
+    """Negative control: a bare row_number() over an unpartitioned
+    fact-table window MUST be flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import audit_window_partitions
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .withColumn("rk", F.row_number().over(
+              Window.orderBy("o_orderkey"))))
+    assert audit_window_partitions("deliberately_broken", df), \
+        "audit rule failed to flag an unpartitioned fact-frame window"
+
+
+def test_window_rule_permits_post_aggregation_frame(spark, sf_dir):
+    """A global window over a grouped aggregate (tiny census frame)
+    is legitimate and must NOT be flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import audit_window_partitions
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+          .withColumn("rk", F.row_number().over(
+              Window.orderBy(F.desc("n")))))
+    assert audit_window_partitions("post_agg_ok", df) == []

@@ -116,9 +116,32 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # 1-row total each round and attaches the 1-row
                    # entropy rate; dispersion attaches the 1-row
                    # document count
-                   "markov_stationary_exact", "token_dispersion"}
+                   "markov_stationary_exact", "token_dispersion",
+                   # operators/rank.py triangular offset join: the
+                   # per-(bucket, group) totals frame is nbuckets x
+                   # ngroups rows (metadata-sized), broadcast on both
+                   # sides; the bucket inequality makes it NLJ-shaped
+                   "decile_lift", "mann_whitney_u"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
+
+# queries where an UNPARTITIONED window (global sort) is acceptable
+# because the frame it consumes is tiny by construction but not
+# provably so from the plan alone (post-aggregation frames whose
+# Aggregate is hidden behind a join/union, dimension-sized inputs).
+# Every entry must state the bound.
+_GLOBAL_WINDOW_OK = {
+    # 15-row cell census (3 flags x 5 segments) — post-agg
+    "mutual_information",
+    # 10-row decile frame cumulated after the bucketed rank
+    "decile_lift",
+    # <=9 candidate thresholds ranked to pick argmin
+    "decision_stump_train",
+    # k-row model frames (centroid ids, component ranks)
+    "kmeans_exact", "pca_top_component",
+    # nation/region-dimension frames (25 rows)
+    "tpch_q8_market_share",
+}
 
 # logical node wrappers that don't change a subtree's row bound
 _TRANSPARENT = {"Project", "Filter", "SubqueryAlias", "ResolvedHint",
@@ -187,6 +210,55 @@ def audit_cross_sides(df) -> list[str]:
     return bad
 
 
+def _is_small_frame(node) -> bool:
+    """True when the subtree is bounded-small by construction: any
+    Aggregate on the spine (post-aggregation census frames), a
+    GlobalLimit/LocalLimit, a OneRowRelation, or a LocalRelation
+    (literal dimension). Joins/unions of small frames are small."""
+    node = _unwrap(node)
+    cls = node.getClass().getSimpleName()
+    if cls == "Aggregate":
+        return True
+    if cls in ("GlobalLimit", "LocalLimit", "OneRowRelation",
+               "LocalRelation", "Range"):
+        # a limit bounds the frame no matter what feeds it
+        return True
+    if cls in ("Expand", "Generate", "Pivot", "Unpivot",
+               "Deduplicate", "Distinct"):
+        # constant fan-out over a small frame stays small
+        return all(_is_small_frame(node.children().apply(i))
+                   for i in range(node.children().size()))
+    if cls in ("Join", "Union", "Intersect", "Except"):
+        return all(_is_small_frame(node.children().apply(i))
+                   for i in range(node.children().size()))
+    return False
+
+
+def audit_window_partitions(name: str, df) -> list[str]:
+    """Round-7 verdict item #3: flag any Window node whose partition
+    spec is EMPTY (global sort — 'Moving all data to a single
+    partition') unless the frame it consumes is provably small
+    (post-aggregation / limited / literal) or the query is
+    allowlisted with a stated bound."""
+    if name in _GLOBAL_WINDOW_OK:
+        return []
+    bad = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        if _is_small_frame(node.child()):
+            continue
+        bad.append("unpartitioned Window over a non-aggregate frame "
+                   "(single-task global sort at scale)")
+    return bad
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
     flags = []
     if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) \
@@ -230,13 +302,17 @@ def main() -> None:
         if cross_bad:
             failures += 1
             flags.extend(cross_bad)
+        win_bad = audit_window_partitions(name, df)
+        if win_bad:
+            failures += 1
+            flags.extend(win_bad)
         status = " | ".join(flags) if flags else "clean"
         print(f"=== {name}: {status}")
         if len(sys.argv) > 1:  # detail only when explicitly named
             print(plan)
     if failures:
         print(f"AUDIT FAILED: {failures} query(s) with unbounded "
-              "cross joins")
+              "cross joins or unpartitioned global-sort windows")
         sys.exit(1)
 
 
