@@ -325,3 +325,99 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
     return out.select("user_id",
                       F.col("event_id").alias("last_event_id"),
                       F.unix_micros("ts").alias("last_ts_us"))
+
+
+@query(
+    "streaming_asof_enrich",
+    oracle="""
+    WITH j AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC,
+                        o.o_totalprice DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND o.o_orderdate + INTERVAL 29 YEAR <= e.ts
+       AND o.o_orderdate + INTERVAL 29 YEAR >= e.ts - INTERVAL 30 DAY
+    )
+    SELECT event_id, user_id, ts,
+           o_orderkey AS last_order_key,
+           o_totalprice AS last_order_total
+    FROM j WHERE rn = 1
+    """,
+)
+def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream AS-OF enrich behind the gate (round-7 verdict
+    item #8) — the eighth streaming execution path: the batch
+    `asof_join` key's latest-order-at-or-before-event semantics run
+    BY THE STREAMING ENGINE. Two watermarked file-source streams
+    (events probe, +29y-shifted orders build) joined with an
+    event-time-bounded lookback (`asof_enrich_stream`, 30-day
+    horizon); the appended matches reduce batch-side to the latest
+    build row per event via max(struct(eff_ts, o_orderkey,
+    o_totalprice)) — associative and commutative, so micro-batch
+    slicing cannot change the answer.
+
+    Oracle equivalence: the oracle ranks every in-horizon quote per
+    event by (o_orderdate, o_orderkey, o_totalprice) DESC and keeps
+    rn=1 — the same total order as the struct argmax, so stream and
+    oracle pick the identical row (or both drop the event when the
+    window is empty). It is also exactly DuckDB's ASOF (inner) join
+    post-filtered to the horizon (the globally-latest quote <= ts is
+    the window argmax whenever it is in-window), but DuckDB's binder
+    rejects a second inequality around ASOF, hence the windowed
+    form. On this slice every possible match is within 30 days
+    (events span Jan 2024; the earliest shifted order is
+    2024-01-01), so the horizon loses nothing vs the batch
+    `asof_join` key.
+
+    Scale: state is (horizon + watermark) of rows per side — the
+    interval-join state story pointed backward; an UNBOUNDED
+    streaming as-of would need unbounded build state, so the horizon
+    is the production contract (staleness cutoff), not a shortcut."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..catalog import load
+    from ..streaming.stream import asof_enrich_stream
+
+    staged_events = _staged_events_dir(spark, sf_dir)
+    probe = (read_event_stream(spark, staged_events, fmt="parquet")
+             .select("event_id", "user_id", "ts"))
+
+    # stage the build side once per (sf, schema) — eff_ts precomputed
+    # so the stream declares an explicit schema (no mid-stream infer)
+    build_dir = os.path.join(os.path.dirname(staged_events),
+                             os.path.basename(staged_events) + "-orders")
+    if not os.path.exists(os.path.join(build_dir, "_SUCCESS")):
+        (load(spark, sf_dir, "orders")
+         .select(F.col("o_custkey"),
+                 (F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS"))
+                 .cast("timestamp").alias("eff_ts"),
+                 F.col("o_orderkey"), F.col("o_totalprice"))
+         .write.mode("overwrite").parquet(build_dir))
+    build_schema = T.StructType([
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("eff_ts", T.TimestampType()),
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    build = (spark.readStream.format("parquet").schema(build_schema)
+             .load(build_dir))
+
+    joined = asof_enrich_stream(
+        probe, build, probe_key="user_id", build_key="o_custkey",
+        probe_ts="ts", build_ts="eff_ts",
+        payload=["o_orderkey", "o_totalprice"], horizon="30 days")
+    out = run_available_now(joined, "q_streaming_asof_enrich",
+                            output_mode="append")
+    return (out.groupBy("event_id", "user_id", "ts")
+            .agg(F.max(F.struct("_b_ts", "o_orderkey", "o_totalprice"))
+                 .alias("_s"))
+            .select("event_id", "user_id", "ts",
+                    F.col("_s.o_orderkey").alias("last_order_key"),
+                    F.col("_s.o_totalprice").alias("last_order_total")))

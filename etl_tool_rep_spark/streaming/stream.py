@@ -137,6 +137,43 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
                       .cast("bigint").alias("lag_us")))
 
 
+def asof_enrich_stream(probe: DataFrame, build: DataFrame,
+                       probe_key: str, build_key: str,
+                       probe_ts: str, build_ts: str,
+                       payload: list[str],
+                       horizon: str = "30 days",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream as-of enrich (round-7 verdict item #8): each
+    probe row gains every build row for the same key with
+    ``build_ts`` in ``[probe_ts - horizon, probe_ts]``; the consumer
+    reduces to the LATEST build row per probe event (argmax on
+    ``struct(build_ts, *payload)`` — associative/commutative, so
+    micro-batch slicing cannot change the answer).
+
+    Why a bounded lookback instead of the batch union-marker pattern:
+    streaming cannot run ``last(..., ignoreNulls)`` over an unbounded
+    per-key window, and Spark only AGES OUT stream-stream join state
+    when both sides carry watermarks and the join condition bounds
+    each side's event time — which ``horizon`` provides. A probe row
+    is droppable once the build watermark passes ``probe_ts``, a
+    build row once the probe watermark passes ``build_ts + horizon``
+    — state is (horizon + watermark) of rows per side regardless of
+    stream length: the same state story as ``interval_join_stream``,
+    pointed backward. Quotes older than the horizon are treated as
+    stale and yield no enrich — at 100 TB an UNBOUNDED as-of over a
+    stream is not implementable without unbounded state; the horizon
+    IS the production contract."""
+    p = probe.withWatermark(probe_ts, watermark)
+    b = (build.select(F.col(build_key).alias("_b_key"),
+                      F.col(build_ts).alias("_b_ts"), *payload)
+              .withWatermark("_b_ts", watermark))
+    cond = ((F.col(probe_key) == F.col("_b_key"))
+            & (F.col("_b_ts") <= F.col(probe_ts))
+            & (F.col("_b_ts")
+               >= F.col(probe_ts) - F.expr(f"INTERVAL {horizon}")))
+    return p.join(b, cond).drop("_b_key")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       timeout_s: int = 120,
                       output_mode: str = "complete") -> DataFrame:
