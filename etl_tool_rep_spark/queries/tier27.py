@@ -448,20 +448,29 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocking recall: sorted-neighborhood candidates vs exact truth
 # ---------------------------------------------------------------------------
 
+# Every heavy member is AS MATERIALIZED: DuckDB inlines plain CTEs,
+# so `sh` (referenced 4x through the chain) and `truth` (referenced
+# 2x by the consumer) re-evaluate combinatorially otherwise — the
+# round-6 sf1 DNF (250 GB spill) was THIS, not the pair volume.
+# cand0 additionally carries the PPJoin LENGTH filter (J >= 1/2 and
+# i <= min(na, nb) imply max <= 2*min), which prunes size-incompatible
+# pairs before the intersection join without changing the truth set.
 _TRUTH_CTE = """
     words AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z]+'),
                          x -> x <> '') AS ws
       FROM documents),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS t
       FROM words, unnest(range(1, len(ws) - 1)) AS r(i)
       WHERE len(ws) >= 3),
-    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    sz AS MATERIALIZED (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
            FROM sh GROUP BY 1),
-    freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f
+    freq AS MATERIALIZED (
+             SELECT t, CAST(COUNT(*) AS BIGINT) AS f
              FROM sh GROUP BY 1),
     ord AS (
       SELECT sh.doc_id, sh.t,
@@ -469,18 +478,20 @@ _TRUTH_CTE = """
                                 ORDER BY freq.f, sh.t) AS rk,
              sz.n
       FROM sh JOIN freq USING (t) JOIN sz USING (doc_id)),
-    pref AS (SELECT doc_id, t FROM ord WHERE rk <= n // 2 + 1),
-    cand0 AS (
+    pref AS MATERIALIZED (
+      SELECT doc_id, t, n FROM ord WHERE rk <= n // 2 + 1),
+    cand0 AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM pref a JOIN pref b
-        ON a.t = b.t AND a.doc_id < b.doc_id),
-    inter AS (
+        ON a.t = b.t AND a.doc_id < b.doc_id
+       AND GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+    inter AS MATERIALIZED (
       SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS i
       FROM cand0 c
       JOIN sh ta ON ta.doc_id = c.a_id
       JOIN sh tb ON tb.doc_id = c.b_id AND tb.t = ta.t
       GROUP BY 1, 2),
-    truth AS (
+    truth AS MATERIALIZED (
       SELECT inter.a_id AS a, inter.b_id AS b
       FROM inter
       JOIN sz sa ON sa.doc_id = inter.a_id
@@ -500,7 +511,7 @@ _TRUTH_CTE = """
       FROM d, unnest([1, 2, 3]) AS o(off)
       WINDOW w AS (PARTITION BY lang, off
                    ORDER BY n_chars, doc_id)),
-    sn AS (
+    sn AS MATERIALIZED (
       SELECT DISTINCT LEAST(a_id, b_id) AS a,
                       GREATEST(a_id, b_id) AS b
       FROM nbr WHERE b_id IS NOT NULL),
