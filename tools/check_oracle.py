@@ -26,6 +26,19 @@ from etl_tool_rep_spark.session import get_spark  # noqa: E402
 
 def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
+    # env-gated resource fences for big-sf oracle runs: without a
+    # memory_limit DuckDB grows to 80% of RAM and the kernel OOM-kills
+    # the whole check; with one it spills to the temp dir instead.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    tmp_cap = os.environ.get("SPARK_GRAFT_DUCK_TMP_MAX")
+    if tmp_cap:
+        con.execute(f"SET max_temp_directory_size='{tmp_cap}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
