@@ -486,10 +486,15 @@ _TRUTH_CTE = """
         ON a.t = b.t AND a.doc_id < b.doc_id
        AND GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
     inter AS MATERIALIZED (
+      -- token-wise co-pair stream probed into the candidate hash:
+      -- volume is sum over tokens of C(df,2) (113M at sf1), grouped
+      -- into <= |cand0| cells. The per-pair expansion form
+      -- (cand0 x sh x sh) materialized ~2B rows and spilled >60GB
+      -- at sf1; this one streams.
       SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS i
-      FROM cand0 c
-      JOIN sh ta ON ta.doc_id = c.a_id
-      JOIN sh tb ON tb.doc_id = c.b_id AND tb.t = ta.t
+      FROM sh ta
+      JOIN sh tb ON tb.t = ta.t AND ta.doc_id < tb.doc_id
+      JOIN cand0 c ON c.a_id = ta.doc_id AND c.b_id = tb.doc_id
       GROUP BY 1, 2),
     truth AS MATERIALIZED (
       SELECT inter.a_id AS a, inter.b_id AS b

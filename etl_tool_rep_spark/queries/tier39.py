@@ -260,79 +260,102 @@ def sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_funnel_k",
     oracle="""
-    WITH v AS (SELECT user_id, ts FROM events
-               WHERE event_type = 'view'),
-    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
-    p AS (SELECT user_id, ts FROM events
-          WHERE event_type = 'purchase'),
-    l1 AS (SELECT DISTINCT user_id FROM v),
-    l2 AS (
-      SELECT DISTINCT v.user_id
-      FROM v JOIN c ON c.user_id = v.user_id
-       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR),
-    l3 AS (
-      SELECT DISTINCT v.user_id
-      FROM v
-      JOIN c ON c.user_id = v.user_id
-       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
-      JOIN p ON p.user_id = v.user_id
-       AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 1 HOUR),
-    lv AS (
-      SELECT u.user_id,
-             CASE WHEN l3.user_id IS NOT NULL THEN 3
-                  WHEN l2.user_id IS NOT NULL THEN 2
-                  WHEN l1.user_id IS NOT NULL THEN 1
-                  ELSE 0 END AS level
-      FROM (SELECT DISTINCT user_id FROM events) u
-      LEFT JOIN l1 USING (user_id)
-      LEFT JOIN l2 USING (user_id)
-      LEFT JOIN l3 USING (user_id))
-    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
-    FROM lv GROUP BY level
+    WITH e0 AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events
+    ), s1 AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'view' THEN tus END)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS lv
+      FROM e0
+    ), s2 AS (
+      SELECT *,
+             CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                       AND lv >= tus - 3600000000
+                  THEN lv END AS anchor
+      FROM s1
+    ), s3 AS (
+      SELECT *,
+             MAX(anchor)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS ba
+      FROM s2
+    ), per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS has1,
+             MAX(CASE WHEN anchor IS NOT NULL THEN 1 ELSE 0 END)
+               AS has2,
+             MAX(CASE WHEN event_type = 'purchase' AND ba IS NOT NULL
+                           AND ba >= tus - 3600000000
+                      THEN 1 ELSE 0 END) AS has3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT CASE WHEN has3 = 1 THEN 3 WHEN has2 = 1 THEN 2
+                WHEN has1 = 1 THEN 1 ELSE 0 END AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY 1
     """,
 )
 def window_funnel_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered windowed funnel (ClickHouse `windowFunnel` semantics):
     a user reaches level k if view -> click -> purchase occur IN
-    ORDER with every step inside 1 hour of the anchoring view —
+    ORDER with every later step inside 1 hour of the anchoring view —
     histogrammed over all users. Unlike `funnel_conversion` (global
     first-timestamps), the horizon binds the whole chain to one
     session-scale window, which is what product funnels actually
     mean.
 
-    Scale: the level-k sets are per-user-key equi-joins with
-    event-time bounds (the interval-join shape — at 100 TB the same
-    plan streams with watermarks); candidate volume is per-user
-    events within the horizon, never a cross join. The final
-    histogram is a 4-row aggregate."""
+    Formulation: LINEAR single-pass per user, not step joins. Two
+    stacked strictly-preceding running maxima carry (a) the latest
+    view time onto each click — a click anchors iff that view is
+    within the horizon — and (b) the latest valid anchor onto each
+    purchase, which completes the chain iff the anchor is within the
+    horizon (the latest view/anchor is sufficient: any witness pair
+    implies the max also witnesses). Equivalent to the exists-joins
+    definition but O(n log n) instead of O(per-user cross products)
+    — the join form OOM'd DuckDB at sf1 (55 GiB spill) while this
+    runs in seconds in both engines.
+
+    Scale: one shuffle to user partitions, one sorted window pass,
+    then a per-user 3-bit rollup and a 4-row histogram. At 100 TB
+    this is the sessionization shape — and it streams (the running
+    maxima are per-key state under a watermark)."""
     ev = load(spark, sf_dir, "events")
-    hour = F.expr("INTERVAL 1 HOUR")
-
-    def typed(t: str, a: str) -> DataFrame:
-        return (ev.filter(F.col("event_type") == t)
-                .select(F.col("user_id").alias(f"{a}_u"),
-                        F.col("ts").alias(f"{a}_ts")))
-
-    v, c, p = typed("view", "v"), typed("click", "c"), typed("purchase", "p")
-    l1 = v.select(F.col("v_u").alias("user_id")).distinct()
-    vc = v.join(c, (F.col("c_u") == F.col("v_u"))
-                & (F.col("c_ts") > F.col("v_ts"))
-                & (F.col("c_ts") <= F.col("v_ts") + hour))
-    l2 = vc.select(F.col("v_u").alias("user_id")).distinct()
-    l3 = (vc.join(p, (F.col("p_u") == F.col("v_u"))
-                  & (F.col("p_ts") > F.col("c_ts"))
-                  & (F.col("p_ts") <= F.col("v_ts") + hour))
-          .select(F.col("v_u").alias("user_id")).distinct())
-    users = ev.select("user_id").distinct()
-    lv = (users
-          .join(l1.withColumn("_l1", F.lit(1)), "user_id", "left")
-          .join(l2.withColumn("_l2", F.lit(1)), "user_id", "left")
-          .join(l3.withColumn("_l3", F.lit(1)), "user_id", "left")
-          .select(F.when(F.col("_l3").isNotNull(), 3)
-                  .when(F.col("_l2").isNotNull(), 2)
-                  .when(F.col("_l1").isNotNull(), 1)
-                  .otherwise(0).alias("level")))
-    return (lv.groupBy("level")
+    hour_us = F.lit(3600000000)
+    w = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    e0 = ev.select("user_id", "event_id", "event_type",
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("tus"))
+    s1 = e0.withColumn(
+        "lv", F.max(F.when(F.col("event_type") == "view",
+                           F.col("tus"))).over(w))
+    s2 = s1.withColumn(
+        "anchor", F.when((F.col("event_type") == "click")
+                         & F.col("lv").isNotNull()
+                         & (F.col("lv") >= F.col("tus") - hour_us),
+                         F.col("lv")))
+    s3 = s2.withColumn("ba", F.max("anchor").over(w))
+    per_user = (s3.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+         .alias("has1"),
+        F.max(F.when(F.col("anchor").isNotNull(), 1).otherwise(0))
+         .alias("has2"),
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & F.col("ba").isNotNull()
+                     & (F.col("ba") >= F.col("tus") - hour_us),
+                     1).otherwise(0)).alias("has3")))
+    return (per_user
+            .select(F.when(F.col("has3") == 1, 3)
+                    .when(F.col("has2") == 1, 2)
+                    .when(F.col("has1") == 1, 1)
+                    .otherwise(0).alias("level"))
+            .groupBy("level")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
 
 
