@@ -41,14 +41,16 @@ from .registry import query
              list_filter(string_split_regex(lower(text), '[^a-z]+'),
                          x -> x <> '') AS ws
       FROM documents),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS t
       FROM words, unnest(range(1, len(ws) - 1)) AS r(i)
       WHERE len(ws) >= 3),
-    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    sz AS MATERIALIZED (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
            FROM sh GROUP BY 1),
-    freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f
+    freq AS MATERIALIZED (
+             SELECT t, CAST(COUNT(*) AS BIGINT) AS f
              FROM sh GROUP BY 1),
     ord AS (
       SELECT sh.doc_id, sh.t,
@@ -56,16 +58,21 @@ from .registry import query
                                 ORDER BY freq.f, sh.t) AS rk,
              sz.n
       FROM sh JOIN freq USING (t) JOIN sz USING (doc_id)),
-    pref AS (SELECT doc_id, t FROM ord WHERE rk <= n // 2 + 1),
-    cand AS (
+    pref AS MATERIALIZED (
+      SELECT doc_id, t FROM ord WHERE rk <= n // 2 + 1),
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM pref a JOIN pref b
         ON a.t = b.t AND a.doc_id < b.doc_id),
-    inter AS (
+    inter AS MATERIALIZED (
+      -- token-wise co-pair stream probed into the candidate hash
+      -- (the blocking_recall sf1 lesson: the cand x sh x sh per-pair
+      -- expansion materializes ~2B rows and spills; this streams
+      -- sum-of-C(df,2) rows instead)
       SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS i
-      FROM cand c
-      JOIN sh ta ON ta.doc_id = c.a_id
-      JOIN sh tb ON tb.doc_id = c.b_id AND tb.t = ta.t
+      FROM sh ta
+      JOIN sh tb ON tb.t = ta.t AND ta.doc_id < tb.doc_id
+      JOIN cand c ON c.a_id = ta.doc_id AND c.b_id = tb.doc_id
       GROUP BY 1, 2)
     SELECT inter.a_id, inter.b_id,
            inter.i AS inter_sh,
