@@ -117,6 +117,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # entropy rate; dispersion attaches the 1-row
                    # document count
                    "markov_stationary_exact", "token_dispersion",
+                   # tier-39 scalar attaches: theta / the 2x2 DiD
+                   # means are 1-row broadcast aggregates crossed
+                   # onto dimension-sized frames
+                   "cuped_adjustment", "diff_in_diff",
                    # operators/rank.py triangular offset join: the
                    # per-(bucket, group) totals frame is nbuckets x
                    # ngroups rows (metadata-sized), broadcast on both
