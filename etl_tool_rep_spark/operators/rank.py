@@ -98,13 +98,29 @@ def _offsets(t: DataFrame, gcols: list[str],
     cond = F.col(f"y.{_BID}") < F.col(f"x.{_BID}")
     for g in gcols:
         cond = cond & F.col(f"x.{g}").eqNullSafe(F.col(f"y.{g}"))
-    fns = {"sum": F.sum, "max": F.max}
+    fns = {"sum": F.sum, "max": F.max, "min": F.min}
     return (x.join(F.broadcast(y), cond, "left")
              .groupBy(F.col(f"x.{_BID}").alias(_BID),
                       *[F.col(f"x.{g}").alias(g) for g in gcols])
              .agg(*[fns[fn](F.col(f"y.{name}"))
                     .alias(f"_off_{name}")
                     for name, (_, fn) in aggs.items()]))
+
+
+def _join_offsets(t: DataFrame, offs: DataFrame,
+                  gcols: list[str]) -> DataFrame:
+    """Attach the broadcast offsets frame on (bucket id, group cols)
+    with NULL-SAFE equality on the group columns — `row_number() over
+    (partition by g)` keeps a NULL partition, so a plain-equality
+    USING join here would silently drop NULL-group rows (and disagree
+    with `_offsets`, which already matches groups with eqNullSafe)."""
+    renames = {g: f"_tp_og_{i}" for i, g in enumerate(gcols)}
+    offs = offs.withColumnsRenamed(renames)
+    cond = t[_BID] == offs[_BID]
+    for g, og in renames.items():
+        cond = cond & t[g].eqNullSafe(offs[og])
+    return (t.join(F.broadcast(offs), cond)
+             .drop(offs[_BID]).drop(*renames.values()))
 
 
 def grouped_row_number(df: DataFrame, group_by: Sequence[str],
@@ -129,7 +145,7 @@ def grouped_row_number(df: DataFrame, group_by: Sequence[str],
             .orderBy(*_as_cols(order_by)))
     t = t.withColumn("_tp_lrn", F.row_number().over(wloc))
     offs = _offsets(t, gcols, {"n": (F.count(F.lit(1)), "sum")})
-    return (t.join(F.broadcast(offs), [_BID] + gcols)
+    return (_join_offsets(t, offs, gcols)
              .withColumn(out, (F.col("_tp_lrn")
                                + F.coalesce(F.col("_off_n"), F.lit(0))
                                ).cast("bigint"))
@@ -156,8 +172,8 @@ def grouped_prefix_sum(df: DataFrame, group_by: Sequence[str],
                        inclusive: bool = True) -> DataFrame:
     """Running totals `fn(col) over (partition by group_by order by
     order_by rows unbounded preceding .. current|-1)` for each
-    ``out_name -> in_col`` (or ``out_name -> (in_col, "sum"|"max")``)
-    in ``sums``, bucketed two-phase. ``inclusive=False`` gives the
+    ``out_name -> in_col`` (or ``out_name -> (in_col,
+    "sum"|"max"|"min")``) in ``sums``, bucketed two-phase. ``inclusive=False`` gives the
     strictly-preceding frame (NULL on each group's first row — the
     running-max-of-predecessors shape). The order should be total per
     group (or the input pre-aggregated to distinct order keys, the
@@ -165,7 +181,7 @@ def grouped_prefix_sum(df: DataFrame, group_by: Sequence[str],
     gcols = list(group_by)
     specs = {name: (v if isinstance(v, tuple) else (v, "sum"))
              for name, v in sums.items()}
-    fns = {"sum": F.sum, "max": F.max}
+    fns = {"sum": F.sum, "max": F.max, "min": F.min}
     t = df.withColumn(_BID, lead_bucket(df, lead, ascending,
                                         nulls_last, npart))
     hi = Window.currentRow if inclusive else -1
@@ -178,12 +194,14 @@ def grouped_prefix_sum(df: DataFrame, group_by: Sequence[str],
     # the same fn (sum of sums / max of maxes)
     offs = _offsets(t, gcols, {name: (fns[fn](col), fn)
                                for name, (col, fn) in specs.items()})
-    t = t.join(F.broadcast(offs), [_BID] + gcols)
+    t = _join_offsets(t, offs, gcols)
     for name, (_, fn) in specs.items():
         loc, off = F.col(f"_tp_l_{name}"), F.col(f"_off_{name}")
         if fn == "max":
             # greatest skips NULLs; all-NULL (true first row) stays NULL
             combined = F.greatest(loc, off)
+        elif fn == "min":
+            combined = F.least(loc, off)
         else:
             combined = (F.when(loc.isNull() & off.isNull(), F.lit(None))
                         .otherwise(F.coalesce(loc, F.lit(0))

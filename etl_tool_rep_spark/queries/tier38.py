@@ -150,10 +150,13 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2
     ), u AS (
       -- item factors init at 1.0: u_s = mean rating, kept exact on
-      -- the 1e-6 grid via pure integer math (no double division)
+      -- the 1e-6 grid via pure integer math (no double division).
+      -- `//` (NOT `/`): DuckDB's `/` on BIGINTs is FLOAT division
+      -- since 0.6 — `//` is the integer floor-divide that matches
+      -- Spark's DIV on these non-negative operands.
       SELECT s,
              CAST((2000000 * SUM(q) + COUNT(*)) AS BIGINT)
-               / CAST((2 * COUNT(*)) AS BIGINT) AS u_e6
+               // CAST((2 * COUNT(*)) AS BIGINT) AS u_e6
       FROM r GROUP BY s
     ), v AS (
       SELECT r.p,
@@ -172,8 +175,9 @@ def als_rank1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier x part quantity matrix: item factors start at 1.0, so
     the user-factor update is the per-supplier mean rating
     (quantized once to the 1e-6 integer grid with pure integer
-    floor-half-up math — DuckDB's `/` on BIGINTs floor-divides, so
-    both engines share `(2e6*sum + n) / (2n)` exactly); the item
+    floor-half-up math — the oracle uses DuckDB's `//` integer floor
+    division, matching Spark's DIV on these non-negative operands,
+    so both engines share `(2e6*sum + n) // (2n)` exactly); the item
     update v_p = sum(r * u) / sum(u^2) then has exact BIGINT
     numerator/denominator and one final double division. This is the
     closed-form inner step every distributed ALS recommender

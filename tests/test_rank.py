@@ -104,6 +104,27 @@ def test_no_unpartitioned_window_in_plan(frame):
             assert not inner.lstrip().startswith("v#"), line
 
 
+def test_null_group_rows_are_kept(spark):
+    """Regression (round-8 ADVICE): a NULL group-by value is a real
+    window partition for `row_number() over (partition by g)`; the
+    offsets join must match it null-safely instead of dropping it."""
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), (None, 3, 3), (None, 4, 4)],
+        "g string, v int, k long")
+    want = df.withColumn("rk", F.row_number().over(
+        Window.partitionBy("g").orderBy("v", "k")))
+    got = grouped_row_number(df, ["g"], ["v", "k"], lead="v")
+    assert got.count() == 4
+    assert _diff(want, got, ["g", "v", "k", "rk"]) == 0
+    want2 = df.withColumn("cum", F.sum("v").over(
+        Window.partitionBy("g").orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    got2 = grouped_prefix_sum(df, ["g"], ["v", "k"], lead="v",
+                              sums={"cum": "v"})
+    assert got2.count() == 4
+    assert _diff(want2, got2, ["g", "v", "k", "cum"]) == 0
+
+
 def test_lead_bucket_is_order_consistent(frame):
     nn = frame.filter(F.col("v").isNotNull())
     b = nn.select("v", lead_bucket(nn, "v").alias("b"))

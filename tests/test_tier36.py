@@ -43,6 +43,27 @@ def test_negative_sampling_contract(spark, monkeypatch):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_negative_sampling_starved_fallback_exact(spark, monkeypatch):
+    """Round-8 re-plan: shrinking the hash-range cut until anchors
+    starve must not change a single output row — the all-bucket
+    fallback re-derives the exact uncut top-2 for starved anchors."""
+    import etl_tool_rep_spark.queries.tier36 as t36
+    rows = [(i, f"doc {i}", ["en", "fr", "de"][i % 3], "s", 8)
+            for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    monkeypatch.setattr(t36, "load", lambda s, d, n: docs)
+    want = sorted(map(tuple,
+                      QUERIES["negative_sampling"](spark, "x").collect()))
+    # target 0 pins tw at its 4/2^20 minimum: essentially every
+    # anchor is starved and flows through the fallback join
+    monkeypatch.setattr(t36, "_NEG_TARGET", 0)
+    got = sorted(map(tuple,
+                     QUERIES["negative_sampling"](spark, "x").collect()))
+    assert got == want
+
+
 def test_hill_recovers_pareto_alpha(spark, monkeypatch):
     import etl_tool_rep_spark.queries.tier36 as t36
     # exact Pareto(alpha=2) quantiles: x_i = (n/i)^(1/2) dollars for

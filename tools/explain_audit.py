@@ -106,12 +106,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    "chi2_feature_select",
                    # tier-36: hill joins the 3-row broadcast k
                    # dimension against the ranked head with rank
-                   # inequalities; negative sampling's lang<>lang
-                   # join is NLJ-shaped by definition — the anchor
-                   # side is a keyed 1/50 sample and production cuts
-                   # candidates by a hash-range filter first (see
-                   # docstring)
-                   "tail_index_hill", "negative_sampling",
+                   # inequalities (negative_sampling left this list
+                   # in round 8: the hash-range cut is now a bucket
+                   # EQUI-join, no NLJ in the plan)
+                   "tail_index_hill",
                    # tier-37 scalar attaches: markov rescales by a
                    # 1-row total each round and attaches the 1-row
                    # entropy rate; dispersion attaches the 1-row
