@@ -69,6 +69,22 @@ def _time_one(spark, fn) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _occupancy() -> dict:
+    """Host-occupancy marker (round-7 verdict ask #8): loadavg and
+    cumulative CPU-steal ticks, sampled around the headline passes so
+    an upward driver reading is classifiable from the artifact alone
+    (shared-host dilation vs plan regression)."""
+    occ = {"load1": round(os.getloadavg()[0], 2)}
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        occ["steal"] = int(parts[8]) if len(parts) > 8 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    return occ
+
+
 def main() -> None:
     spark = get_spark("bench")
     from etl_tool_rep_spark.queries import QUERIES
@@ -82,10 +98,12 @@ def main() -> None:
 
     # n iterations per query, interleaved by pass so GC/compilation noise
     # is spread evenly; first pass discarded, median of the rest reported.
+    occ_before = _occupancy()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(ITERS):
         for name in HEADLINE:
             samples[name].append(_time_one(spark, QUERIES[name]))
+    occ_after = _occupancy()
     timings = {
         name: round(statistics.median(vals[1:]), 3)
         for name, vals in samples.items()
@@ -127,6 +145,11 @@ def main() -> None:
         "sf": _sf(),
         "iters": ITERS,
         "stat": "median_after_warmup_discard",
+        # occupancy markers: loadavg(1m) at start/end of the headline
+        # passes + cumulative steal-tick delta (0 on a quiet host)
+        "load1": [occ_before["load1"], occ_after["load1"]],
+        "steal_d": occ_after.get("steal", 0) - occ_before.get("steal", 0),
+        "ncpu": os.cpu_count(),
     }
     line = json.dumps(out)
     # Hard guard on the driver-tail capture window (2000 chars observed):

@@ -64,6 +64,7 @@ from . import tier36  # noqa: F401,E402
 from . import tier37  # noqa: F401,E402
 from . import tier38  # noqa: F401,E402
 from . import tier39  # noqa: F401,E402
+from . import tier40  # noqa: F401,E402
 
 if _HAVE_NUMPY_STACK:  # Pandas-UDF/numpy-kernel tiers
     from . import tier3  # noqa: F401,E402

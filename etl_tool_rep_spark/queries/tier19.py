@@ -451,14 +451,23 @@ def neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate pairs are generated ONLY through the part-key
     equi-join (volume = sum over parts of deg² — bounded by the
     ~4-suppliers-per-part TPC-H fan-out), never a supplier cross
-    join; degrees attach from a broadcast |suppliers|-row aggregate;
-    the per-node top-10 is one partitioned window (rank cutoff
-    pushes down as WindowGroupLimit, so no node's full neighbor list
-    is ever sorted in memory). Jaccard is floor-rounded at 6 dp
-    BEFORE the rank ordering so the (jaccard, shared, dst) sort key
-    is bit-identical across engines.
+    join — and hub parts are BLOCK-expanded
+    (`operators.skew.blocked_copair_count`, round 8): a part whose
+    supplier list exceeds the block size has its C(deg, 2) pair
+    output spread over nblk(nblk+1)/2 distinct join keys instead of
+    serializing on one task (the 1.6x single-task residual
+    BENCH_skew.md §3 measured on the Zipf-1.2 fixture — AQE can't
+    split it because skew detection sees join inputs, not the
+    quadratic output). Degrees attach from a broadcast
+    |suppliers|-row aggregate; the per-node top-10 is one
+    partitioned window (rank cutoff pushes down as WindowGroupLimit,
+    so no node's full neighbor list is ever sorted in memory).
+    Jaccard is floor-rounded at 6 dp BEFORE the rank ordering so the
+    (jaccard, shared, dst) sort key is bit-identical across engines.
     """
     from pyspark.sql import Window
+
+    from ..operators.skew import blocked_copair_count
 
     li = load(spark, sf_dir, "lineitem")
     e = (li.select(F.col("l_suppkey").alias("s"),
@@ -466,16 +475,13 @@ def neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            .distinct()
            .localCheckpoint(eager=False))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    a, b = e.alias("a"), e.alias("b")
     # truncate before the symmetrizing union: co feeds both branches,
     # and the part-key self-join + shuffled groupBy (the expensive
     # stage) must not re-run per branch
-    co = (a.join(b, (F.col("a.p") == F.col("b.p"))
-                 & (F.col("a.s") < F.col("b.s")))
-           .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-           .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
-           .filter(F.col("shared") >= 2)
-           .localCheckpoint(eager=False))
+    co = (blocked_copair_count(e, key="p", member="s",
+                               out_1="s1", out_2="s2", out_n="shared")
+          .filter(F.col("shared") >= 2)
+          .localCheckpoint(eager=False))
     sym = (co.select(F.col("s1").alias("src"), F.col("s2").alias("dst"),
                      "shared")
              .unionAll(co.select(F.col("s2").alias("src"),

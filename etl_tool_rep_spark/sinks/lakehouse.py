@@ -154,6 +154,63 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+_Z_BITS = 10
+
+
+def _zorder_expr(df: DataFrame, cols: list[str]) -> "F.Column":
+    """Morton (z-order) key over numeric cluster columns: each column
+    is linearly scaled into [0, 2^bits) from its observed min/max
+    (ONE bounded driver aggregate, baked as literals) and the bit
+    planes are interleaved — pure BIGINT shift/mask math in codegen.
+    Rows near each other in z live in a compact k-D tile, so files
+    written in z order carry TIGHT footer [min, max] on EVERY cluster
+    column, not just the leading one (the Delta/Iceberg OPTIMIZE
+    ZORDER layout). NULLs scale to bucket 0."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).first()
+    terms = []
+    cap = (1 << _Z_BITS) - 1
+    for i, c in enumerate(cols):
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        if mn is None:                       # all-NULL column
+            continue
+        span = max(int(mx) - int(mn), 0) + 1
+        scaled = F.floor(
+            (F.col(c).cast("bigint") - F.lit(int(mn))).cast("double")
+            * F.lit(float(1 << _Z_BITS)) / F.lit(float(span))
+        ).cast("bigint")
+        scaled = F.coalesce(F.least(scaled, F.lit(cap)), F.lit(0))
+        for b in range(_Z_BITS):
+            terms.append(
+                F.shiftright(scaled, b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (len(cols) * b + i)))
+    if not terms:
+        return F.lit(0).cast("bigint")
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def _apply_layout(df: DataFrame, cluster: list[str], mode: str,
+                  n: int) -> DataFrame:
+    """Lay out ``df`` for writing: ``range`` range-partitions on the
+    cluster key(s) lexicographically (tight stats on the LEADING
+    key); ``zorder`` range-partitions AND sorts on the Morton key so
+    stats are tight on every cluster column (2-D+ skipping)."""
+    if not cluster:
+        return df
+    if mode == "zorder":
+        z = _zorder_expr(df, cluster)
+        return (df.withColumn("_lk_z", z)
+                  .repartitionByRange(n, "_lk_z")
+                  .sortWithinPartitions("_lk_z")
+                  .drop("_lk_z"))
+    return df.repartitionByRange(n, *cluster)
+
+
 class LakeTable:
     """Handle to a snapshot-versioned parquet table."""
 
@@ -168,26 +225,37 @@ class LakeTable:
     def create(cls, spark: SparkSession, root: str, df: DataFrame,
                batch_id: str = "create",
                cluster_by: str | list[str] | None = None,
-               num_files: int | None = None) -> "LakeTable":
+               num_files: int | None = None,
+               cluster_mode: str = "range") -> "LakeTable":
         """Create a table at ``root`` with ``df`` as snapshot 1.
 
         ``cluster_by`` range-partitions the data on the given key(s)
         before writing, giving files DISJOINT key ranges — the layout
         that makes file-granular MERGE pruning bite. Footer stats are
-        recorded for the cluster columns in every subsequent commit."""
+        recorded for the cluster columns in every subsequent commit.
+
+        ``cluster_mode="zorder"`` (round-8) lays files out along the
+        Morton curve of ALL cluster columns instead of the
+        lexicographic range: every cluster column gets tight per-file
+        [min, max] footer stats, so `read_where` prunes files on 2-D
+        (and higher) predicates, not just the leading key. The mode
+        persists in the manifest and every rewrite (merge/compact)
+        re-applies it."""
+        if cluster_mode not in ("range", "zorder"):
+            raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
         t = cls(spark, root)
         os.makedirs(t._mdir, exist_ok=True)
         if t.version() > 0:
             raise ValueError(f"table already exists at {root}")
         cluster = ([cluster_by] if isinstance(cluster_by, str)
                    else list(cluster_by or []))
-        if cluster:
-            n = num_files or df.sparkSession.sparkContext.defaultParallelism
-            df = df.repartitionByRange(n, *cluster)
+        n = num_files or df.sparkSession.sparkContext.defaultParallelism
+        df = _apply_layout(df, cluster, cluster_mode, n)
         entries = t._write_data(df, stat_cols=cluster)
         t._commit_entries(entries, schema_json=df.schema.json(),
                           batch_id=batch_id, parent=0,
-                          prev_batch_ids=[], cluster_by=cluster)
+                          prev_batch_ids=[], cluster_by=cluster,
+                          cluster_mode=cluster_mode)
         return t
 
     def exists(self) -> bool:
@@ -371,7 +439,8 @@ class LakeTable:
     def _commit_entries(self, entries: list[dict], schema_json: str,
                         batch_id: str, parent: int,
                         prev_batch_ids: list[str],
-                        cluster_by: list[str]) -> int:
+                        cluster_by: list[str],
+                        cluster_mode: str = "range") -> int:
         """Publish a manifest for snapshot parent+1 atomically. Raises
         CommitConflict if that version was claimed by another writer
         after ``parent`` was observed."""
@@ -383,6 +452,7 @@ class LakeTable:
             "batch_ids": sorted({*prev_batch_ids, batch_id}),
             "schema": schema_json,
             "cluster_by": cluster_by,
+            "cluster_mode": cluster_mode,
             "files": entries,
             "committed_at": time.time(),
         }
@@ -410,13 +480,15 @@ class LakeTable:
         through the file-granular planners below."""
         prev = (self._manifest(parent)["batch_ids"] if parent >= 1
                 else [])
-        cluster = (self._manifest(parent).get("cluster_by", [])
-                   if parent >= 1 else [])
+        pm = self._manifest(parent) if parent >= 1 else {}
+        cluster = pm.get("cluster_by", [])
         entries = self._write_data(df, stat_cols=cluster)
         return self._commit_entries(entries, schema_json=df.schema.json(),
                                     batch_id=batch_id, parent=parent,
                                     prev_batch_ids=prev,
-                                    cluster_by=cluster)
+                                    cluster_by=cluster,
+                                    cluster_mode=pm.get("cluster_mode",
+                                                        "range"))
 
     def _check_schema(self, manifest: dict, df: DataFrame) -> None:
         """Reject name OR type drift at commit time (ADVICE r6 #4):
@@ -538,9 +610,9 @@ class LakeTable:
                                     [e["path"] for e in touched])
             merged = merge_upsert(base, ups, keys).select(*cols)
             cluster = manifest.get("cluster_by", [])
-            if cluster:
-                merged = merged.repartitionByRange(
-                    max(1, len(touched)), *cluster)
+            merged = _apply_layout(
+                merged, cluster, manifest.get("cluster_mode", "range"),
+                max(1, len(touched)))
             return untouched + self._write_data(merged, cluster)
 
         return self._transact(plan, batch_id, max_retries)
@@ -606,7 +678,8 @@ class LakeTable:
                     plan(manifest), schema_json=manifest["schema"],
                     batch_id=batch_id, parent=parent,
                     prev_batch_ids=manifest["batch_ids"],
-                    cluster_by=manifest.get("cluster_by", []))
+                    cluster_by=manifest.get("cluster_by", []),
+                    cluster_mode=manifest.get("cluster_mode", "range"))
             except CommitConflict:
                 continue                     # re-derive against new base
         raise CommitConflict(
@@ -641,8 +714,10 @@ class LakeTable:
             total = sum(os.path.getsize(e["path"]) for e in small)
             n_out = max(1, -(-total // target_file_bytes))  # ceil-div
             cluster = manifest.get("cluster_by", [])
-            df = (df.repartitionByRange(n_out, *cluster) if cluster
-                  else df.coalesce(n_out))
+            df = (_apply_layout(df, cluster,
+                                manifest.get("cluster_mode", "range"),
+                                n_out)
+                  if cluster else df.coalesce(n_out))
             return big + self._write_data(df, cluster)
 
         return self._transact(plan, batch_id, max_retries)

@@ -147,3 +147,61 @@ def test_window_rule_permits_post_aggregation_frame(spark, sf_dir):
           .withColumn("rk", F.row_number().over(
               Window.orderBy(F.desc("n")))))
     assert audit_window_partitions("post_agg_ok", df) == []
+
+
+def test_window_rule_fires_on_per_key_aggregate(spark, sf_dir):
+    """Negative control (round-8 ADVICE): an Aggregate grouped on a
+    FACT key (o_custkey — cardinality ~ |customers|) is data-sized;
+    a global window over it must be flagged, not trusted because an
+    Aggregate sits on the spine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import audit_window_partitions
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .groupBy("o_custkey").agg(F.count("*").alias("n"))
+          .withColumn("rk", F.row_number().over(
+              Window.orderBy(F.desc("n")))))
+    assert audit_window_partitions("per_key_agg_broken", df), \
+        "audit rule trusted a per-key (data-sized) aggregate frame"
+
+
+# --- non-equi-join bound gate (round-8 verdict item #3) --------------
+# A join with no equi conjunct is a nested loop: |L| x |R| work. The
+# rule requires one side to carry a PROVEN row bound — the shape that
+# would have caught round-7's negative_sampling quadratic candidate
+# stage.
+
+
+def test_nonequi_rule_fires_on_fact_fact_inequality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import audit_nonequi_joins
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = o.join(c, F.col("o_custkey") != F.col("c_custkey"))
+    assert audit_nonequi_joins("deliberately_broken", df), \
+        "non-equi rule failed to flag a fact x fact inequality join"
+
+
+def test_nonequi_rule_permits_scalar_attach(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import audit_nonequi_joins
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = o.agg(F.count("*").alias("n_total"))
+    df = o.crossJoin(F.broadcast(total))
+    assert audit_nonequi_joins("scalar_ok", df) == []
+
+
+def test_nonequi_rule_permits_limit_bounded_side(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import audit_nonequi_joins
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probes = o.select("o_orderkey", "o_totalprice").limit(10)
+    df = o.join(F.broadcast(probes.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"))),
+        F.col("o_totalprice") > F.col("p"))
+    assert audit_nonequi_joins("limit_ok", df) == []

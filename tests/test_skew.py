@@ -4,7 +4,8 @@ on skewed data (one key holding ~90% of rows)."""
 import pytest
 from pyspark.sql import functions as F
 
-from etl_tool_rep_spark.operators.skew import salted_agg_count, salted_join
+from etl_tool_rep_spark.operators.skew import (
+    blocked_copair_count, salted_agg_count, salted_join)
 
 
 @pytest.fixture(scope="module")
@@ -35,6 +36,26 @@ def test_salted_join_left(skewed, dim):
     out = salted_join(skewed, missing, "k", how="left")
     assert out.count() == skewed.count()
     assert out.filter(F.col("name").isNull()).count() == skewed.count()
+
+
+def test_blocked_copair_matches_naive(spark):
+    """Round-8 hub expansion: with a block size small enough that
+    the hub key splits into many blocks, the blocked pair counts
+    must equal the naive a.m < b.m self-join exactly — every cross-
+    block pair once (min-block side left), every same-block pair
+    deduped on the diagonal."""
+    rows = [("hub", m) for m in range(40)]          # C(40,2) pairs
+    rows += [("k%d" % (i % 7), 100 + i) for i in range(30)]
+    e = spark.createDataFrame(rows, "p string, s int")
+    naive = (e.alias("a").join(
+        e.alias("b"), (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("m1"), F.col("b.s").alias("m2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared")))
+    for bs in (4, 7, 64):  # hub → 10 / 6 / 1 blocks
+        got = blocked_copair_count(e, "p", "s", block_size=bs)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, naive.collect())), bs
 
 
 def test_salted_agg_matches_plain(skewed):
