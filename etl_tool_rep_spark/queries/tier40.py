@@ -1,4 +1,5 @@
-"""Tier 40 — incremental corpus dedup: the continuous-ingest shape.
+"""Tier 40 — round-8 additions: incremental corpus dedup (the
+continuous-ingest shape) and the baseline-JPEG multimodal decode.
 
 Round-7 verdict item #5: every dedup key so far dedups a corpus
 against ITSELF; a 100 TB training-data pipeline dedups each NEW batch
@@ -180,3 +181,106 @@ def incremental_minhash_dedup(spark: SparkSession,
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG decode behind the exact oracle (round-7 verdict #7)
+# ---------------------------------------------------------------------------
+
+# block-grid dimensions: 1..3 block rows, 2..5 block cols -> images
+# of 8..24 x 16..40 pixels, every block FULL (multiples of 8) so the
+# block rule covers each pixel exactly
+_J_DIMS = ("SELECT doc_id, 8 * (1 + doc_id % 3) AS h,"
+           " 8 * (2 + doc_id % 4) AS w FROM documents")
+
+def _jpeg_oracle() -> str:
+    from ..operators.multimodal import pixel_rule_sql
+    v = pixel_rule_sql("doc_id",
+                       "CAST((y - y % 8) / 8 AS BIGINT)",
+                       "CAST((x - x % 8) / 8 AS BIGINT)")
+    return f"""
+    WITH dims AS ({_J_DIMS}),
+    ys AS (SELECT doc_id, h, w, unnest(range(0, h)) AS y FROM dims),
+    px AS (SELECT doc_id, h, w, y, unnest(range(0, w)) AS x FROM ys),
+    v AS (SELECT doc_id, h, w, y, x, {v} AS v FROM px)
+    SELECT doc_id,
+           CAST(h AS BIGINT) AS height,
+           CAST(w AS BIGINT) AS width,
+           CAST(h * w AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS pix_sum,
+           CAST(MIN(v) AS BIGINT) AS pix_min,
+           CAST(MAX(v) AS BIGINT) AS pix_max,
+           CAST(SUM((y * w + x + 1) * v % 1000000007) % 1000000007
+                AS BIGINT) AS pix_wsum,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM v GROUP BY doc_id, h, w
+    """
+
+
+@query("jpeg_decode_exact", oracle=_jpeg_oracle())
+def jpeg_decode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG encode -> real baseline-JPEG decode ->
+    integer pixel stats, hash-matched against DuckDB recomputing the
+    pixel rule directly (the oracle never sees a JPEG byte — the
+    tier-24 PNG trick, extended to the lossy codec).
+
+    Exactness through a LOSSY codec: the synthetic images are
+    BLOCK-CONSTANT (the tier-24 pixel rule applied at 8x8-block
+    coordinates) and the quantization table is all-ones, so the
+    fully general encoder emits exact DC-only blocks
+    (DC = 8*(v-128), every AC zero) and the fully general decoder's
+    float IDCT returns v bit-for-bit (DC/8 is exact in doubles).
+    The general lossy path is covered by pytest tolerance tests
+    (tests/test_jpeg.py). ``pix_wsum`` is position-weighted, so a
+    decoder that mis-ordered blocks, mis-decoded Huffman runs or
+    dropped the DC prediction cannot pass.
+
+    Scale: same posture as the PNG keys — two Arrow-batched
+    mapInPandas stages (synthesize payloads standing in for an
+    object-store read; decode + per-image stats), one Python
+    crossing per batch, per-image cost tracks payload bytes."""
+    from collections.abc import Iterator
+
+    from ..operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from ..operators.multimodal import PAYLOAD_SCHEMA, PIXEL_STATS_SCHEMA
+
+    import numpy as np
+    import pandas as pd
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                bh, bw = 1 + d % 3, 2 + d % 4
+                by = np.arange(bh, dtype=np.int64)[:, None]
+                bx = np.arange(bw, dtype=np.int64)[None, :]
+                s = (d * 73856093 + by * 19349663
+                     + bx * 83492791) % 2147483648
+                v = ((s * 1103515245 + 12345) % 2147483648) >> 23
+                px = np.repeat(np.repeat(v.astype(np.uint8), 8, axis=0),
+                               8, axis=1)
+                payloads.append(encode_jpeg_gray(
+                    px.tobytes(), bw * 8, bh * 8))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def stats(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pixels, w, h = decode_jpeg_gray(bytes(payload))
+                v = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                pos = np.arange(1, v.size + 1, dtype=np.int64)
+                rows.append((int(doc_id), h, w, v.size, int(v.sum()),
+                             int(v.min()), int(v.max()),
+                             int((pos * v % 1000000007).sum()
+                                 % 1000000007),
+                             int(np.unique(v).size)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              PIXEL_STATS_SCHEMA])
+
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(synth,
+                                              schema=PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)

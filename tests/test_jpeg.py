@@ -1,0 +1,94 @@
+"""operators/jpeg.py — baseline grayscale JPEG codec semantics.
+
+Three tiers of guarantees:
+* block-constant images with the all-ones quant table round-trip
+  BIT-EXACTLY (the property `jpeg_decode_exact`'s oracle gate rests
+  on: DC = 8*(v-128) exactly, DC/8 exact in doubles);
+* general images with the all-ones table round-trip within the DCT
+  rounding bound (|err| <= 2 per pixel);
+* the decoder is general within the baseline-grayscale subset:
+  real quant tables decode with bounded error, arbitrary AC
+  structure (runs, ZRL, EOB) and odd dimensions survive, malformed
+  payloads raise JpegError instead of garbage.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_tool_rep_spark.operators.jpeg import (JpegError,
+                                               decode_jpeg_gray,
+                                               encode_jpeg_gray)
+
+
+def _block_constant(w, h, seed=7):
+    rng = random.Random(seed)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    vals = [[rng.randrange(256) for _ in range(bw)] for _ in range(bh)]
+    return bytes(vals[y // 8][x // 8]
+                 for y in range(h) for x in range(w))
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (16, 24), (40, 8), (24, 16)])
+def test_block_constant_roundtrip_exact(w, h):
+    px = _block_constant(w, h)
+    dec, dw, dh = decode_jpeg_gray(encode_jpeg_gray(px, w, h))
+    assert (dw, dh) == (w, h)
+    assert dec == px
+
+
+def test_odd_dimensions_pad_and_crop():
+    """Non-multiple-of-8 images are edge-padded at encode and cropped
+    at decode; block-constant content still round-trips exactly."""
+    px = _block_constant(20, 13)
+    dec, dw, dh = decode_jpeg_gray(encode_jpeg_gray(px, 20, 13))
+    assert (dw, dh) == (20, 13)
+    assert dec == px
+
+
+def test_general_image_q1_near_lossless():
+    rng = random.Random(3)
+    w, h = 24, 16
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    dec, _, _ = decode_jpeg_gray(encode_jpeg_gray(px, w, h))
+    assert max(abs(a - b) for a, b in zip(px, dec)) <= 2
+
+
+def test_real_quant_table_decodes_with_bounded_error():
+    """A non-trivial quant table exercises the full AC run-length /
+    ZRL / EOB paths on both sides; smooth content stays close."""
+    w, h = 32, 32
+    px = bytes(((x + y) * 4) % 256 for y in range(h) for x in range(w))
+    q = [16, 11, 10, 16, 24, 40, 51, 61] * 8     # varied, legal
+    dec, _, _ = decode_jpeg_gray(encode_jpeg_gray(px, w, h, quant=q))
+    # lossy but sane: mean error small, no wild pixels
+    errs = [abs(a - b) for a, b in zip(px, dec)]
+    assert sum(errs) / len(errs) < 16
+    assert max(errs) < 128
+
+
+def test_payload_is_real_jfif():
+    enc = encode_jpeg_gray(_block_constant(16, 16), 16, 16)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    assert b"JFIF" in enc[:24]
+
+
+def test_malformed_payloads_raise():
+    with pytest.raises(JpegError):
+        decode_jpeg_gray(b"\x00\x01\x02")
+    enc = bytearray(encode_jpeg_gray(_block_constant(8, 8), 8, 8))
+    with pytest.raises(JpegError):
+        decode_jpeg_gray(bytes(enc[:len(enc) // 2]))  # truncated scan
+    with pytest.raises(JpegError):
+        encode_jpeg_gray(b"\x00" * 10, 4, 4)          # size mismatch
+
+
+def test_dc_prediction_chains_across_blocks():
+    """A gradient of block values makes every DC diff nonzero — a
+    decoder that reset the DC predictor would diverge after block 1."""
+    w, h = 64, 8
+    px = bytes(((x // 8) * 30 + 5) for _ in range(h) for x in range(w))
+    dec, _, _ = decode_jpeg_gray(encode_jpeg_gray(px, w, h))
+    assert dec == px
