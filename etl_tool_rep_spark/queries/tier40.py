@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import global_row_number
 from ..sinks.lakehouse import LakeTable
 from .registry import query
 from .tier21 import (_BANDS, _MH_LIST_SQL, _PERMS, _ROWS, _SH_CTES,
@@ -284,3 +285,193 @@ def jpeg_decode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select("doc_id").mapInPandas(synth,
                                               schema=PAYLOAD_SCHEMA)
     return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# z-order 2-D data skipping as a registry key (round-8, verdict #6)
+# ---------------------------------------------------------------------------
+
+_Z2_CENTS = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "lakehouse_zorder_2d",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_Z2_CENTS}) AS BIGINT) AS sum_cents,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_sk,
+           TRUE AS pruned
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300
+      AND l_suppkey BETWEEN 10 AND 30
+    """,
+)
+def lakehouse_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem as a LakeTable clustered in Z-ORDER on
+    (l_partkey, l_suppkey), then answer a 2-D rectangle predicate
+    through the stats-pruned `read_where` scan. The oracle computes
+    the same rectangle aggregate over the raw table — a layout or
+    skipping bug that loses/duplicates one row fails the hash; the
+    `pruned` flag additionally asserts the scan OPENED under half the
+    files (the 2-D skipping a lexicographic range layout cannot give
+    — its trailing-key stats span the full range in every file).
+
+    Scale: this is the fact-table layout decision at 100 TB — Morton
+    clustering makes parquet min/max prune on EITHER key of the
+    dominant 2-key access pattern; the write is one range exchange
+    on the z value, the read is manifest pruning + residual filter."""
+    import shutil
+    import tempfile
+
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  F.expr(_Z2_CENTS).alias("cents")))
+    root = tempfile.mkdtemp(prefix="etl_zorder2d_")
+    try:
+        t = LakeTable.create(spark, root, li,
+                             cluster_by=["l_partkey", "l_suppkey"],
+                             num_files=16, cluster_mode="zorder")
+        conds = [("l_partkey", "between", (100, 300)),
+                 ("l_suppkey", "between", (10, 30))]
+        kept, total = t.pruned_files(conds)
+        agg = (t.read_where(conds)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum("cents").cast("bigint").alias("sum_cents"),
+                    F.min("l_partkey").cast("bigint").alias("min_pk"),
+                    F.max("l_suppkey").cast("bigint").alias("max_sk"))
+               .withColumn("pruned",
+                           F.lit(len(kept) * 2 < total)))
+        rows = agg.collect()          # 1-row frame, bounded
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# token-balanced training shards (LPT round-robin over the exact rank)
+# ---------------------------------------------------------------------------
+
+_NSHARDS = 8
+
+
+@query(
+    "shard_assignment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(str_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id, n_tok,
+             ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+      FROM toks
+    )
+    SELECT CAST((rk - 1) % {_NSHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM ranked GROUP BY 1
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to token-balanced training shards: rank docs
+    by token count DESC (longest-processing-time order) and deal them
+    round-robin across the shards — the classic LPT bin-packing
+    approximation every multi-host data loader uses to keep per-shard
+    token totals even. Output is per-shard doc counts, token totals
+    and a doc-id checksum certifying every individual assignment.
+
+    Scale: the global rank comes from the bucketed two-phase exact
+    rank (operators/rank.py — literal percentile boundaries, all
+    buckets in parallel), NOT a single-task global sort; everything
+    else is one hash aggregation on the shard id."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda x: x != F.lit("")))
+        .cast("bigint").alias("n_tok"))
+    ranked = global_row_number(
+        toks, [F.desc("n_tok"), F.asc("doc_id")], lead="n_tok",
+        ascending=False, out="rk")
+    return (ranked
+            .groupBy(((F.col("rk") - 1) % _NSHARDS).cast("bigint")
+                     .alias("shard"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+                 F.max("n_tok").cast("bigint").alias("max_tokens"),
+                 F.sum("doc_id").cast("bigint").alias("doc_id_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — inter-rater agreement (eval/labeling QA metric)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cohen_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS r2
+      FROM orders
+    ), c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS agree,
+             CAST(SUM(r1) AS BIGINT) AS p1,
+             CAST(SUM(r2) AS BIGINT) AS p2
+      FROM lab
+    )
+    SELECT n, agree, p1, p2,
+           CAST(FLOOR(CAST(agree AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
+               AS po_e6,
+           CAST(FLOOR((CAST(p1 AS DOUBLE) * p2
+                       + CAST(n - p1 AS DOUBLE) * (n - p2))
+                      / n / n * 1e6 + 0.5) AS BIGINT) AS pe_e6,
+           CAST(FLOOR((CAST(agree AS DOUBLE) / n
+                       - (CAST(p1 AS DOUBLE) * p2
+                          + CAST(n - p1 AS DOUBLE) * (n - p2)) / n / n)
+                      / (1.0 - (CAST(p1 AS DOUBLE) * p2
+                                + CAST(n - p1 AS DOUBLE) * (n - p2))
+                               / n / n)
+                      * 1e6 + 0.5) AS BIGINT) AS kappa_e6
+    FROM c
+    """,
+)
+def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary 'raters' derived from orders
+    (price-threshold vs priority labels) — the agreement-beyond-
+    chance metric every labeling/eval QA pipeline reports. All
+    inputs are integer counts from ONE scan; po/pe/kappa are formed
+    with identical double-arithmetic association in both engines and
+    quantized with the floor idiom.
+
+    Scale: one aggregation, four integers to the driver — the whole
+    metric is map-side combinable."""
+    o = load(spark, sf_dir, "orders")
+    r1 = F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)
+    r2 = F.when(F.col("o_orderpriority")
+                .isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    c = (o.select(r1.alias("r1"), r2.alias("r2"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+               .cast("bigint").alias("agree"),
+              F.sum("r1").cast("bigint").alias("p1"),
+              F.sum("r2").cast("bigint").alias("p2")))
+    n, agree = F.col("n").cast("double"), F.col("agree").cast("double")
+    p1, p2 = F.col("p1").cast("double"), F.col("p2").cast("double")
+    po = agree / n
+    pe = (p1 * p2 + (n - p1) * (n - p2)) / n / n
+    return c.select(
+        "n", "agree", "p1", "p2",
+        F.floor(po * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+         .alias("po_e6"),
+        F.floor(pe * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+         .alias("pe_e6"),
+        F.floor((po - pe) / (F.lit(1.0) - pe) * F.lit(1e6)
+                + F.lit(0.5)).cast("bigint").alias("kappa_e6"))

@@ -123,7 +123,10 @@ _NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
                    # per-(bucket, group) totals frame is nbuckets x
                    # ngroups rows (metadata-sized), broadcast on both
                    # sides; the bucket inequality makes it NLJ-shaped
-                   "decile_lift", "mann_whitney_u"}
+                   # (audit_nonequi_joins PROVES the bound via the
+                   # size(filter(<literal array>)) bucket-id domain —
+                   # these entries only quiet the dumber text check)
+                   "decile_lift", "mann_whitney_u", "shard_assignment"}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
