@@ -24,6 +24,7 @@ outputs here are integer counts / id-sums on top of it.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -475,3 +476,99 @@ def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("pe_e6"),
         F.floor((po - pe) / (F.lit(1.0) - pe) * F.lit(1e6)
                 + F.lit(0.5)).cast("bigint").alias("kappa_e6"))
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest into the transactional lakehouse (round-8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_lakehouse_ingest",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+    FROM (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def streaming_lakehouse_ingest(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The full continuous-ingest loop: a multi-batch availableNow
+    stream whose every micro-batch is MERGEd into a transactional
+    `LakeTable` keyed on user_id (per-user latest event), using the
+    batch id as the lakehouse batch_id so a replayed micro-batch
+    (crash-restart) is a manifest-level no-op. After the stream
+    drains, the TABLE SNAPSHOT (read back through the manifest) must
+    equal the plain batch argmax — stream == batch through a real
+    table, not a memory sink.
+
+    The merge is read-modify-write on touched keys only: each batch
+    semi-joins the standing snapshot down to its own users, takes
+    the (ts, event_id) argmax of (batch ∪ touched state), and MERGEs
+    — updates win, untouched files carry by reference (file-granular
+    pruning). That is exactly foreachBatch + MERGE INTO against
+    Delta/Iceberg; here the table protocol is ours and the result is
+    oracle-gated.
+
+    Scale: per-batch work is |batch| + |touched state|; table files
+    carry by reference so commit cost never grows with table age;
+    the streaming source swaps for Kafka unchanged. The final
+    per-user frame is user-dimension-sized (same boundedness class
+    as streaming_foreachbatch_upsert's memory sink)."""
+    import shutil
+
+    from ..streaming.stream import read_event_stream
+    from .tier16 import _staged_events_dir
+
+    staged = _staged_events_dir(spark, sf_dir)
+    stream = read_event_stream(spark, staged, fmt="parquet",
+                               max_files_per_trigger=8)
+    root = tempfile.mkdtemp(prefix="etl_stream_lake_")
+    holder: dict = {"table": None}
+
+    def _argmax(df: DataFrame) -> DataFrame:
+        return (df.groupBy("user_id")
+                .agg(F.max(F.struct(F.col("ts"), F.col("event_id")))
+                     .alias("_s"))
+                .select("user_id",
+                        F.col("_s.event_id").alias("event_id"),
+                        F.col("_s.ts").alias("ts")))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("user_id", "event_id", "ts")
+        t = holder["table"]
+        if t is None:
+            holder["table"] = LakeTable.create(
+                batch_df.sparkSession, os.path.join(root, "t"),
+                _argmax(b), batch_id=f"stream-{batch_id}",
+                cluster_by="user_id")
+            return
+        touched = (t.snapshot()
+                   .join(b.select("user_id").distinct(),
+                         "user_id", "semi"))
+        upd = _argmax(b.unionByName(touched))
+        t.merge(upd, "user_id", batch_id=f"stream-{batch_id}")
+
+    q = (stream.writeStream
+         .foreachBatch(merge)
+         .option("checkpointLocation", os.path.join(root, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    final = holder["table"].snapshot().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"))
+    rows = final.collect()   # user-dimension-sized, then clean up
+    out = spark.createDataFrame(rows, final.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -9,7 +9,7 @@ import sys
 
 from etl_tool_rep_spark.queries import ORACLES, QUERIES
 
-EXPECTED = 307
+EXPECTED = 308
 
 
 def test_registry_counts():
