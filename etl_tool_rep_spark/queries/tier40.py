@@ -554,21 +554,22 @@ def streaming_lakehouse_ingest(spark: SparkSession,
         upd = _argmax(b.unionByName(touched))
         t.merge(upd, "user_id", batch_id=f"stream-{batch_id}")
 
-    q = (stream.writeStream
-         .foreachBatch(merge)
-         .option("checkpointLocation", os.path.join(root, "_ckpt"))
-         .trigger(availableNow=True)
-         .start())
     try:
-        q.awaitTermination(300)
+        q = (stream.writeStream
+             .foreachBatch(merge)
+             .option("checkpointLocation", os.path.join(root, "_ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+        final = holder["table"].snapshot().select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_ts_us"))
+        rows = final.collect()   # user-dimension-sized, then clean up
+        return spark.createDataFrame(rows, final.schema)
     finally:
-        if q.isActive:
-            q.stop()
-    final = holder["table"].snapshot().select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.unix_micros("ts").alias("last_ts_us"))
-    rows = final.collect()   # user-dimension-sized, then clean up
-    out = spark.createDataFrame(rows, final.schema)
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+        shutil.rmtree(root, ignore_errors=True)
