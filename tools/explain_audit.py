@@ -20,113 +20,42 @@ from etl_tool_rep_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-# queries where an all-pairs/nested-loop shape is the intended
-# algorithm (bounded by tiny query/centroid sides), or where the
-# cross join is against a single-row broadcast aggregate (scalar
-# attach: hll merged estimate, fused constraint counters)
-_NESTED_LOOP_OK = {"embedding_knn", "embedding_near_dup", "ann_ivf_knn",
-                   "theta_join_range", "hll_sketch_merge",
-                   "validate_constraints",
-                   # tiny bin grid: distinct event_types x range(10)
-                   "psi_drift",
-                   # scalar attach: broadcast 1-row aggregate crossJoin
-                   # (in-plan corpus stats / totals / prefix offsets —
-                   # the round-3 replacement for driver-side collects;
-                   # the "nested loop" side is one row by construction)
-                   "bm25_search", "tfidf_topk", "heavy_hitters",
-                   "equidepth_bins", "skyline_pareto", "vocab_growth",
-                   "market_basket", "triangle_count", "mixture_weights",
-                   "temperature_resample", "unigram_logprob",
-                   "tpch_q11_important_stock", "tpch_q22_idle_customers",
-                   "tpch_q15_top_supplier", "ratio_to_report",
-                   "approx_distinct", "groupby_agg",
-                   # tier-17 scalar attaches: KS max-gap + sample sizes,
-                   # degree-histogram total (1-row aggregates, audited
-                   # <=1-row bound below like every entry here)
-                   "ks_test", "degree_distribution",
-                   # two-stage rerank: per-query candidate lists are
-                   # broadcast-sized by construction
-                   "mmr_rerank",
-                   # PQ ADC scan: corpus codes x broadcast query LUTs
-                   # (the != self condition makes it an NLJ; the query
-                   # side is explicitly broadcast and tiny)
-                   "ann_pq_knn",
-                   # tier-19 scalar attaches: Benford grand total,
-                   # DSIR corpus totals (1-row broadcast aggregates)
-                   "benford_digits", "dsir_weights",
-                   # per-round merge decision: one 3-column row
-                   # broadcast-attached to the vocab rewrite
-                   "bpe_merge_train",
-                   # node count attached as a broadcast 1-row
-                   # aggregate each damping round
-                   "pagerank_exact",
-                   # tier-26 scalar attaches: date-midpoint pivot and
-                   # old/new totals (two 1-row broadcast aggregates)
-                   "schema_drift_report",
-                   # tier-27/28 dimension completions + scalar
-                   # attaches: t-closeness crosses the QI-class census
-                   # with the |segments|-row global distribution and a
-                   # 1-row total; theil-sen attaches the 1-row max-day
-                   # pivot; blocking-recall combines three 1-row pair
-                   # counts; chi2 completes the r x c grid from two
-                   # dimension-sized marginals + 1-row total/dims;
-                   # doc-perplexity attaches the 1-row corpus (T, V)
-                   "t_closeness_census", "theil_sen_trend",
-                   "blocking_recall", "chi2_independence",
-                   "doc_perplexity",
-                   # tier-30: WoE attaches a 1-row good/bad total;
-                   # the stump crosses rows with the 9-threshold
-                   # candidate broadcast (|rows| x 9 by design, the
-                   # pre-bucketed variant keeps the same plan); NB
-                   # fans tokens out |classes| ways via an explicit
-                   # tiny-dimension broadcast cross
-                   "woe_encoding", "decision_stump_train",
-                   "naive_bayes_score",
-                   # tier-31 iterative scalar attaches: PCA rescales
-                   # the 64-row vector by a broadcast 1-row max each
-                   # round and attaches 1-row Rayleigh num/den;
-                   # the perceptron attaches the 1-row weight triple
-                   # and 3-number gradient per epoch
-                   "pca_top_component", "perceptron_train",
-                   # tier-32: the CV stump crosses rows with the
-                   # broadcast 5-fold dimension and the per-fold
-                   # 9-candidate broadcast — both tiny by design
-                   "stump_cv",
-                   # tier-33 scalar attaches: QN attaches the 1-row
-                   # global N; Kneser-Ney attaches the 1-row bigram
-                   # type total
-                   "quantile_normalization", "kneser_ney_bigram",
-                   # tier-34: the radius join crosses cells with the
-                   # broadcast 9-row offset grid (the provably-
-                   # complete neighbor search); the rollup fans rows
-                   # into the broadcast 3-row zoom dimension
-                   "spatial_radius_join", "spatial_cell_rollup",
-                   # tier-35 scalar attach: chi2 feature selection
-                   # attaches the 1-row total-document count
-                   "chi2_feature_select",
-                   # tier-36: hill joins the 3-row broadcast k
-                   # dimension against the ranked head with rank
-                   # inequalities (negative_sampling left this list
-                   # in round 8: the hash-range cut is now a bucket
-                   # EQUI-join, no NLJ in the plan)
-                   "tail_index_hill",
-                   # tier-37 scalar attaches: markov rescales by a
-                   # 1-row total each round and attaches the 1-row
-                   # entropy rate; dispersion attaches the 1-row
-                   # document count
-                   "markov_stationary_exact", "token_dispersion",
-                   # tier-39 scalar attaches: theta / the 2x2 DiD
-                   # means are 1-row broadcast aggregates crossed
-                   # onto dimension-sized frames
-                   "cuped_adjustment", "diff_in_diff",
-                   # operators/rank.py triangular offset join: the
-                   # per-(bucket, group) totals frame is nbuckets x
-                   # ngroups rows (metadata-sized), broadcast on both
-                   # sides; the bucket inequality makes it NLJ-shaped
-                   # (audit_nonequi_joins PROVES the bound via the
-                   # size(filter(<literal array>)) bucket-id domain —
-                   # these entries only quiet the dumber text check)
-                   "decile_lift", "mann_whitney_u", "shard_assignment"}
+# Queries whose non-equi/cross join has a REAL bound the logical
+# plan cannot expose (round 8 shrank this list from ~70 names to the
+# six below: `audit_nonequi_joins` now PROVES the bounded side for
+# everything else — scalar attaches, literal grids, rank-utility
+# triangular offsets — via the row-bound/attr-provenance propagator,
+# and the old text-only BroadcastNestedLoopJoin check was retired in
+# its favor). Every surviving entry states why the bound is
+# plan-opaque; for these the rule still requires an explicitly
+# broadcast or <=1-row side (the relaxed tier in audit_nonequi_joins).
+_NESTED_LOOP_OK = {
+    # brute-force KNN / rerank: the query side is a LIMIT-bounded or
+    # construction-bounded probe set read back through createDataFrame
+    # or a second scan of the same relation (LogicalRelation x
+    # LogicalRelation — the probe bound lives in the query text, not
+    # the plan); the scan is |corpus| x |probes| by design
+    "embedding_knn", "mmr_rerank",
+    # PQ ADC scan: corpus codes x broadcast query LUTs, probe side
+    # materialized through an Arrow kernel (ArrowEvalPython hides the
+    # upstream LIMIT from the bound propagator)
+    "ann_pq_knn",
+    # rank-utility offset join over groups with an unbounded declared
+    # domain (per-nation frames — real bound 25, but the grouping
+    # column is produced by a join the propagator won't cross)
+    "ratio_to_report",
+    # spatial: cells cross the 9-row neighbor-offset / 3-row zoom
+    # grids built via createDataFrame -> LogicalRDD (opaque bound)
+    "spatial_radius_join", "spatial_cell_rollup",
+    # IVF probe: queries x broadcast centroid/probe frames whose
+    # k-bound is created by construction-time kmeans jobs (plan shape
+    # varies between LocalRelation and LogicalRelation per session)
+    "ann_ivf_knn",
+    # iterative epochs: each weight/gradient attach is a 1-row frame
+    # OPACIFIED by localCheckpoint into a LogicalRDD — the relaxed
+    # tier still demands the explicit broadcast/scalar side
+    "perceptron_train",
+}
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
@@ -555,9 +484,9 @@ def audit_window_partitions(name: str, df) -> list[str]:
 
 def audit_plan(name: str, plan: str) -> list[str]:
     flags = []
-    if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) \
-            and name not in _NESTED_LOOP_OK:
-        flags.append("nested-loop/cartesian join (unexpected)")
+    # NLJ/cartesian hazards are judged on the LOGICAL plan with real
+    # bounds (audit_cross_sides + audit_nonequi_joins) — a text match
+    # on the physical plan can only restate what those rules prove
     n_exch = len(re.findall(r"Exchange hashpartitioning", plan))
     if n_exch > 5:
         flags.append(f"{n_exch} hash exchanges")
