@@ -176,6 +176,11 @@ def _zorder_expr(df: DataFrame, cols: list[str]) -> "F.Column":
         mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
         if mn is None:                       # all-NULL column
             continue
+        if not isinstance(mn, (int, bool)) or isinstance(mn, bool):
+            # non-integer cluster column (string/date/float): it
+            # cannot steer the Morton key; range clustering on it
+            # still works, z-order just ignores it
+            continue
         span = max(int(mx) - int(mn), 0) + 1
         scaled = F.floor(
             (F.col(c).cast("bigint") - F.lit(int(mn))).cast("double")

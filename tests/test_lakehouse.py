@@ -550,3 +550,18 @@ def test_zorder_unknown_mode_rejected(spark, tmp_path):
     with _pytest.raises(ValueError, match="cluster_mode"):
         LakeTable.create(spark, str(tmp_path / "t"), df,
                          cluster_by="k", cluster_mode="hilbert")
+
+
+def test_zorder_ignores_non_integer_cluster_columns(spark, tmp_path):
+    """A string cluster column can't steer the Morton key; z-order
+    must skip it (stats still recorded) instead of crashing."""
+    from pyspark.sql import functions as F
+    df = (spark.range(100)
+          .select(F.col("id").alias("k"),
+                  F.concat(F.lit("s"), (F.col("id") % 7)).alias("cat")))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df,
+                         cluster_by=["k", "cat"], num_files=4,
+                         cluster_mode="zorder")
+    kept, total = t.pruned_files([("k", "between", (0, 10))])
+    assert len(kept) < total
+    assert t.snapshot().count() == 100
