@@ -205,3 +205,72 @@ def test_nonequi_rule_permits_limit_bounded_side(spark, sf_dir):
         F.col("o_totalprice").alias("p"))),
         F.col("o_totalprice") > F.col("p"))
     assert audit_nonequi_joins("limit_ok", df) == []
+
+
+# --- bound-propagator unit coverage (round 8) ------------------------
+# The audit rules above rest on _row_bound/_attr_bounds; these pin the
+# individual propagation cases so a refactor can't silently weaken the
+# gate (a too-generous bound would wave real hazards through).
+
+
+def _bound(df):
+    from tools.explain_audit import _row_bound
+    return _row_bound(df._jdf.queryExecution().optimizedPlan())
+
+
+def test_bound_limit_and_range(spark):
+    assert _bound(spark.range(1000).limit(7)) <= 7
+    assert _bound(spark.range(123)) == 123
+
+
+def test_bound_scalar_and_grouped_aggregates(spark, sf_dir):
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert _bound(o.agg(F.count("*"))) == 1
+    # o_orderstatus has a documented 3-value domain
+    b = _bound(o.groupBy("o_orderstatus").count())
+    assert b is not None and b <= 3
+    # o_custkey has no documented domain and a data-sized child
+    assert _bound(o.groupBy("o_custkey").count()) is None
+
+
+def test_bound_joins_and_unions_compose(spark, sf_dir):
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = o.groupBy("o_orderstatus").count()      # <= 3
+    p = o.groupBy("o_orderpriority").count()    # <= 5
+    uni = s.select(F.col("o_orderstatus").alias("k"), "count") \
+        .unionByName(p.select(F.col("o_orderpriority").alias("k"),
+                              "count"))
+    assert _bound(uni) <= 8
+    j = s.crossJoin(p)
+    b = _bound(j)
+    assert b is not None and b <= 3 * 5 + 3 + 5
+    # joining against a data-sized frame loses the bound
+    assert _bound(s.crossJoin(o)) is None
+
+
+def test_bound_grouping_via_attr_provenance(spark, sf_dir):
+    """Grouping on a column carried from a 1-row scalar attach must
+    bound by provenance even though the column name has no domain."""
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = o.agg(F.count("*").alias("grand_total"))
+    j = o.crossJoin(F.broadcast(total))
+    g = j.groupBy("o_orderstatus", "grand_total").count()
+    b = _bound(g)
+    assert b is not None and b <= 3
+
+
+def test_bound_literal_array_bucket_domain(spark, sf_dir):
+    """The rank-utility bucket id — size(filter(<literal array>)) —
+    must get a domain bound through _expr_domain, proving the
+    triangular offset join without an allowlist."""
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bounds = F.lit([100.0, 200.0, 300.0])
+    bid = F.size(F.filter(bounds,
+                          lambda b: b < F.col("o_totalprice")))
+    g = o.withColumn("_bid", bid).groupBy("_bid").count()
+    b = _bound(g)
+    assert b is not None and b <= 4
