@@ -66,3 +66,28 @@ def test_salted_agg_matches_plain(skewed):
               .collect()}
     assert plain == salted
     assert salted[1] == 9000
+
+
+def test_blocked_copair_random_differential(spark):
+    """Seeded random edge sets x random block sizes vs the naive
+    self-join — the operator's exactness must not depend on the
+    fixture's shape (hub sizes, key counts, member ranges)."""
+    import random
+    rng = random.Random(20260815)
+    for trial in range(4):
+        nkeys = rng.randint(1, 6)
+        rows = set()
+        for _ in range(rng.randint(10, 120)):
+            rows.add(("k%d" % rng.randint(0, nkeys - 1),
+                      rng.randint(0, 60)))
+        e = spark.createDataFrame(sorted(rows), "p string, s int")
+        naive = (e.alias("a").join(
+            e.alias("b"), (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.s") < F.col("b.s")))
+            .groupBy(F.col("a.s").alias("m1"),
+                     F.col("b.s").alias("m2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shared")))
+        bs = rng.choice([1, 2, 3, 8, 1024])
+        got = blocked_copair_count(e, "p", "s", block_size=bs)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, naive.collect())), (trial, bs)
