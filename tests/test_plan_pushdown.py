@@ -207,6 +207,62 @@ def test_nonequi_rule_permits_limit_bounded_side(spark, sf_dir):
     assert audit_nonequi_joins("limit_ok", df) == []
 
 
+# --- distributed-snapshot gate (round-9 verdict item #1) -------------
+# The two streaming keys used to finish with collect()+createDataFrame
+# of the per-user final state — a driver OOM at 100 TB. The rule scans
+# the optimized plan for driver-materialized relations (LogicalRDD /
+# non-empty LocalRelation); the declared keys must be clean, and the
+# negative control proves the rule fires on the old shape.
+
+
+def test_snapshot_rule_fires_on_collect_roundtrip(spark, sf_dir):
+    """Negative control: the pre-round-9 shape — collect the final
+    state, rebuild with createDataFrame — MUST be flagged."""
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import scan_driver_materialization
+    state = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .groupBy("user_id")
+             .agg(F.max("event_id").alias("last_event_id")))
+    rows = state.limit(50).collect()
+    df = spark.createDataFrame(rows, state.schema)
+    assert scan_driver_materialization(df), \
+        "rule failed to flag a collect()+createDataFrame round-trip"
+
+
+def test_snapshot_rule_permits_file_read(spark, sf_dir, tmp_path):
+    """A distributed parquet read of on-disk state (the round-9
+    return shape) must pass clean."""
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import scan_driver_materialization
+    out = str(tmp_path / "state")
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .groupBy("user_id")
+     .agg(F.max("event_id").alias("last_event_id"))
+     .write.parquet(out))
+    df = (spark.read.parquet(out)
+          .select("user_id", F.col("last_event_id") + 0))
+    assert scan_driver_materialization(df) == []
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["streaming_foreachbatch_upsert",
+                                  "streaming_lakehouse_ingest"])
+def test_streaming_snapshot_returns_distributed(spark, sf_dir, name):
+    """The declared keys themselves: run the stream, then assert the
+    RETURNED frame's plan reads files — no driver round-trip — and
+    still carries the right row count (one per user)."""
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import audit_driver_materialization
+    df = QUERIES[name](spark, sf_dir)
+    assert audit_driver_materialization(name, df) == []
+    n_users = (spark.read.parquet(f"{sf_dir}/events.parquet")
+               .agg(F.countDistinct("user_id")).first()[0])
+    assert df.count() == n_users
+
+
 # --- bound-propagator unit coverage (round 8) ------------------------
 # The audit rules above rest on _row_bound/_attr_bounds; these pin the
 # individual propagation cases so a refactor can't silently weaken the

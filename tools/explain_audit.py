@@ -59,6 +59,17 @@ _NESTED_LOOP_OK = {
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
 
+# Round-9 (verdict item #1): declared keys whose RETURN materializes
+# a data-sized dimension (per-user streaming state) and therefore
+# MUST come back as a distributed file read — any LogicalRDD or
+# non-empty LocalRelation in the optimized plan means the frame took
+# a collect()+createDataFrame round-trip through the driver (an OOM
+# at 100 TB, where the user dimension is O(1e8) rows).
+_DISTRIBUTED_SNAPSHOT_REQUIRED = {
+    "streaming_foreachbatch_upsert",
+    "streaming_lakehouse_ingest",
+}
+
 # queries where an UNPARTITIONED window (global sort) is acceptable
 # because the frame it consumes is tiny by construction but not
 # provably so from the plan alone (post-aggregation frames whose
@@ -482,6 +493,43 @@ def audit_window_partitions(name: str, df) -> list[str]:
     return bad
 
 
+def audit_driver_materialization(name: str, df) -> list[str]:
+    """Keys in `_DISTRIBUTED_SNAPSHOT_REQUIRED` must return frames
+    whose every leaf is a file-source relation: a LogicalRDD or a
+    non-empty LocalRelation proves the user-dimension state was
+    round-tripped through the driver. (An EMPTY LocalRelation is
+    Catalyst's fold of a provably-empty subtree — harmless.)"""
+    if name not in _DISTRIBUTED_SNAPSHOT_REQUIRED:
+        return []
+    return scan_driver_materialization(df)
+
+
+def scan_driver_materialization(df) -> list[str]:
+    """Walk the optimized plan; report every driver-materialized
+    relation node. Shared by the audit and its negative-control test
+    (tests/test_plan_pushdown.py)."""
+    bad = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+        cls = node.getClass().getSimpleName()
+        if cls == "LogicalRDD":
+            bad.append("driver-materialized LogicalRDD in a "
+                       "distributed-snapshot query")
+        elif cls == "LocalRelation":
+            try:
+                n = node.data().size()
+            except Exception:  # noqa: BLE001
+                n = None
+            if n is None or n > 0:
+                bad.append("driver-materialized LocalRelation"
+                           f"({n} rows) in a distributed-snapshot "
+                           "query")
+    return bad
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
     flags = []
     # NLJ/cartesian hazards are judged on the LOGICAL plan with real
@@ -533,6 +581,10 @@ def main() -> None:
         if win_bad:
             failures += 1
             flags.extend(win_bad)
+        mat_bad = audit_driver_materialization(name, df)
+        if mat_bad:
+            failures += 1
+            flags.extend(mat_bad)
         status = " | ".join(flags) if flags else "clean"
         print(f"=== {name}: {status}")
         if len(sys.argv) > 1:  # detail only when explicitly named
