@@ -552,16 +552,120 @@ def test_zorder_unknown_mode_rejected(spark, tmp_path):
                          cluster_by="k", cluster_mode="hilbert")
 
 
-def test_zorder_ignores_non_integer_cluster_columns(spark, tmp_path):
-    """A string cluster column can't steer the Morton key; z-order
-    must skip it (stats still recorded) instead of crashing."""
+def test_zorder_skips_unorderable_cluster_columns(spark, tmp_path):
+    """A cluster column with no exploitable ordering (array) can't
+    steer the Morton key; z-order must skip it (integer key still
+    prunes) instead of crashing."""
     from pyspark.sql import functions as F
     df = (spark.range(100)
           .select(F.col("id").alias("k"),
-                  F.concat(F.lit("s"), (F.col("id") % 7)).alias("cat")))
+                  F.array(F.col("id") % 7).alias("tags")))
     t = LakeTable.create(spark, str(tmp_path / "t"), df,
-                         cluster_by=["k", "cat"], num_files=4,
+                         cluster_by=["k", "tags"], num_files=4,
                          cluster_mode="zorder")
     kept, total = t.pruned_files([("k", "between", (0, 10))])
     assert len(kept) < total
     assert t.snapshot().count() == 100
+
+
+# -- typed z-order keys (round-9 verdict item #2) ---------------------
+# Real 100 TB tables cluster on (date, id) or (domain, hash); dates
+# map through epoch days and strings through an ordered bounded
+# dictionary, so BOTH dimensions steer the curve and both prune.
+
+
+def _typed_grid_table(spark, root, mode):
+    """64 days x 64 domains written as 16 files under the layout:
+    d = 2020-01-01 + (id % 64) days, dom = 'dom%02d' of id/64."""
+    from pyspark.sql import functions as F
+    df = (spark.range(64 * 64)
+          .select(F.date_add(F.lit("2020-01-01").cast("date"),
+                             (F.col("id") % 64).cast("int"))
+                  .alias("d"),
+                  F.format_string("dom%02d",
+                                  (F.col("id") / 64).cast("int"))
+                  .alias("dom"),
+                  F.col("id").alias("payload")))
+    return LakeTable.create(spark, root, df, cluster_by=["d", "dom"],
+                            num_files=16, cluster_mode=mode)
+
+
+def test_zorder_prunes_on_date_and_string_keys(spark, tmp_path):
+    """The round-8 gap: a (date, string) cluster key contributed
+    nothing to the Morton key. Now the second (string) dimension must
+    prune under z-order where the lexicographic range layout (leading
+    on the date) cannot, and the 2-D rectangle must skip files."""
+    import datetime
+    rng = _typed_grid_table(spark, str(tmp_path / "r"), "range")
+    zod = _typed_grid_table(spark, str(tmp_path / "z"), "zorder")
+    cond = [("dom", "between", ("dom10", "dom13"))]
+    kept_r, total_r = rng.pruned_files(cond)
+    kept_z, total_z = zod.pruned_files(cond)
+    assert total_r == total_z == 16
+    assert len(kept_z) < len(kept_r), (len(kept_z), len(kept_r))
+    rect = [("d", "between", (datetime.date(2020, 1, 11),
+                              datetime.date(2020, 1, 14))),
+            ("dom", "between", ("dom10", "dom13"))]
+    kept_z2, _ = zod.pruned_files(rect)
+    assert len(kept_z2) < total_z
+
+
+def test_zorder_typed_read_where_row_exact(spark, tmp_path):
+    """Pruned typed-key z-order reads equal the full-scan filter."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    t = _typed_grid_table(spark, str(tmp_path / "z"), "zorder")
+    lo, hi = datetime.date(2020, 1, 6), datetime.date(2020, 1, 10)
+    conds = [("d", "between", (lo, hi)),
+             ("dom", "between", ("dom20", "dom40"))]
+    got = sorted((str(r["d"]), r["dom"])
+                 for r in t.read_where(conds).collect())
+    want = sorted((str(r["d"]), r["dom"])
+                  for r in t.snapshot().filter(
+                      F.col("d").between(lo, hi)
+                      & F.col("dom").between("dom20", "dom40"))
+                  .collect())
+    assert got == want and got
+
+
+def test_zorder_null_values_bucket_low(spark, tmp_path):
+    """Round-8 ADVICE: NULL cluster values must z-bucket to 0, not
+    the top bucket — a NULL-heavy table otherwise co-locates NULLs
+    with the MAX key and poisons that file's footer range. Proof:
+    with NULLs and the max key in play, the file holding the max-key
+    rows is NOT the file holding the NULL rows."""
+    from pyspark.sql import functions as F
+    df = (spark.range(1000)
+          .select(F.when(F.col("id") % 10 == 0, None)
+                  .otherwise(F.col("id")).cast("bigint").alias("k"),
+                  (F.col("id") % 7).alias("j"),
+                  F.col("id").alias("payload")))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df,
+                         cluster_by=["k", "j"], num_files=8,
+                         cluster_mode="zorder")
+    man = t._manifest(t.version())
+    null_files = {e["path"] for e in man["files"]
+                  if e.get("stats", {}).get("k", {}).get("nulls", 0)}
+    max_files = {e["path"] for e in man["files"]
+                 if e.get("stats", {}).get("k", {}).get("max") == 999}
+    assert null_files and max_files
+    assert not (null_files & max_files), \
+        "NULL keys landed in the max-key file (top-bucket bug)"
+
+
+def test_zorder_high_cardinality_string_hash_fallback(spark, tmp_path):
+    """A string key with more distincts than 2^bits buckets falls
+    back to xxhash64 bucketing — layout degrades (no lexicographic
+    locality) but the write succeeds and reads stay exact."""
+    from pyspark.sql import functions as F
+    df = (spark.range(3000)
+          .select(F.sha2(F.col("id").cast("string"), 256).alias("h"),
+                  (F.col("id") % 64).alias("j"),
+                  F.col("id").alias("payload")))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df,
+                         cluster_by=["h", "j"], num_files=8,
+                         cluster_mode="zorder")
+    assert t.snapshot().count() == 3000
+    kept, total = t.pruned_files([("j", "between", (0, 7))])
+    assert len(kept) < total        # the integer dimension prunes
