@@ -214,8 +214,13 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("centroid_id"),
                        F.col("embedding").alias("centroid_vec")))
     assigned = K.ivf_assign(em, cents, "vec_id", "embedding")
+    # limit(5) is a no-op on the <=5 matching rows but puts a
+    # PLAN-VISIBLE GlobalLimit on the probe side, so the explain-audit
+    # bound propagator proves the queries x centroids cross join
+    # bounded without an allowlist entry (round-8 verdict item #3)
     return K.ivf_topk(
-        queries=em.filter(F.col("vec_id") < 5), assigned=assigned,
+        queries=em.filter(F.col("vec_id") < 5).limit(5),
+        assigned=assigned,
         centroids=cents, query_id="vec_id", query_vec="embedding",
         cand_id="vec_id", cand_vec="embedding", k=10, nprobe=3) \
         .toDF("query_id", "vec_id", "score", "rank")
@@ -236,8 +241,9 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = PQ.pq_train(em, "vec_id", "embedding", m=16, ksub=16)
     codes = PQ.pq_encode(em.select("vec_id", "embedding"),
                          "embedding", books).select("vec_id", "pq_code")
+    # limit(5): plan-visible probe bound (see ann_ivf_knn)
     return PQ.pq_topk_refined(
-        queries=em.filter(F.col("vec_id") < 5),
+        queries=em.filter(F.col("vec_id") < 5).limit(5),
         query_id="vec_id", query_vec="embedding",
         codes=codes, vectors=em, cand_id="vec_id", cand_vec="embedding",
         k=10, shortlist=100, codebooks=books) \

@@ -321,8 +321,13 @@ def perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("x2"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(-1)
         .cast("bigint").alias("y")).localCheckpoint()
-    w = spark.createDataFrame([(0, 0, 0)],
-                              "w1 bigint, w2 bigint, w0 bigint")
+    # range(1)-rooted weights: createDataFrame would plant an opaque
+    # LogicalRDD at the root of every epoch's weight frame; Range(1)
+    # gives the explain-audit propagator a STRUCTURAL 1-row bound that
+    # composes through the unrolled epochs (round-8 verdict item #3)
+    w = spark.range(1).select(F.lit(0).cast("bigint").alias("w1"),
+                              F.lit(0).cast("bigint").alias("w2"),
+                              F.lit(0).cast("bigint").alias("w0"))
     for _ in range(_PERC_ROUNDS):
         g = (feats.crossJoin(F.broadcast(w))
              .filter("y * (w1 * x1 + w2 * x2 + w0) <= 0")

@@ -173,6 +173,42 @@ def test_window_rule_fires_on_per_key_aggregate(spark, sf_dir):
 # stage.
 
 
+def test_nlj_allowlist_stays_small():
+    """Round-8 verdict item #3: the plan-opaque allowlist must stay
+    at <=5 entries — growth means new code is skipping the proof."""
+    from tools.explain_audit import _NESTED_LOOP_OK
+    assert len(_NESTED_LOOP_OK) <= 5, sorted(_NESTED_LOOP_OK)
+
+
+@pytest.mark.parametrize("name", ["ann_pq_knn", "ann_ivf_knn",
+                                  "perceptron_train"])
+def test_deallowlisted_queries_prove_their_bounds(spark, sf_dir, name):
+    """The three round-9 graduates: their probe/weight bounds are now
+    plan-visible (limit(5) / Range(1)), so the non-equi rule must
+    pass WITHOUT an allowlist entry."""
+    from tools.explain_audit import _NESTED_LOOP_OK, audit_nonequi_joins
+    assert name not in _NESTED_LOOP_OK
+    df = QUERIES[name](spark, sf_dir)
+    assert audit_nonequi_joins(name, df) == []
+
+
+def test_bound_traverses_arrow_eval_python(spark, sf_dir):
+    """ArrowEvalPython (scalar pandas UDF) is row-preserving: a limit
+    below it must survive above it."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _twice(s):
+        return s * 2.0
+
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .limit(7).withColumn("t", _twice("o_totalprice")))
+    from tools.explain_audit import _row_bound
+    assert _row_bound(
+        df._jdf.queryExecution().optimizedPlan()) == 7
+
+
 def test_nonequi_rule_fires_on_fact_fact_inequality(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -36,10 +36,6 @@ _NESTED_LOOP_OK = {
     # LogicalRelation — the probe bound lives in the query text, not
     # the plan); the scan is |corpus| x |probes| by design
     "embedding_knn", "mmr_rerank",
-    # PQ ADC scan: corpus codes x broadcast query LUTs, probe side
-    # materialized through an Arrow kernel (ArrowEvalPython hides the
-    # upstream LIMIT from the bound propagator)
-    "ann_pq_knn",
     # rank-utility offset join over groups with an unbounded declared
     # domain (per-nation frames — real bound 25, but the grouping
     # column is produced by a join the propagator won't cross)
@@ -47,14 +43,11 @@ _NESTED_LOOP_OK = {
     # spatial: cells cross the 9-row neighbor-offset / 3-row zoom
     # grids built via createDataFrame -> LogicalRDD (opaque bound)
     "spatial_radius_join", "spatial_cell_rollup",
-    # IVF probe: queries x broadcast centroid/probe frames whose
-    # k-bound is created by construction-time kmeans jobs (plan shape
-    # varies between LocalRelation and LogicalRelation per session)
-    "ann_ivf_knn",
-    # iterative epochs: each weight/gradient attach is a 1-row frame
-    # OPACIFIED by localCheckpoint into a LogicalRDD — the relaxed
-    # tier still demands the explicit broadcast/scalar side
-    "perceptron_train",
+    # Round-9 (verdict item #3): ann_pq_knn / ann_ivf_knn left the
+    # list via a plan-visible limit(5) on their probe frames (plus
+    # ArrowEvalPython row-preservation in _row_bound); perceptron_
+    # train left it by rooting its weight frame in Range(1) instead
+    # of an opaque createDataFrame LogicalRDD.
 }
 # queries intentionally scanning whole small tables w/o filters
 _NO_FILTER_OK = True  # pushdown flagged only when a filter exists
@@ -205,6 +198,12 @@ def _row_bound(node) -> int | None:
     products for grouped aggregates."""
     cls = node.getClass().getSimpleName()
     if cls in _TRANSPARENT and node.children().size() == 1:
+        return _row_bound(node.children().apply(0))
+    if cls in ("ArrowEvalPython", "BatchEvalPython") \
+            and node.children().size() == 1:
+        # scalar Python-UDF evaluation emits exactly one row per
+        # input row — row-PRESERVING, unlike MapInPandas/FlatMap*
+        # (which stay opaque): a bound below it survives above it
         return _row_bound(node.children().apply(0))
     if cls == "OneRowRelation":
         return 1
