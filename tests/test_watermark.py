@@ -75,3 +75,28 @@ def test_late_rows_dropped_behind_watermark(spark, tmp_path):
     assert rows["13:00"] == (1, 4.0)
     assert rows["14:00"] == (1, 8.0)
     assert all(total < 100 for _, total in rows.values())
+
+
+def test_interval_join_state_plateaus(spark, tmp_path):
+    """Round-9 (verdict item #4): drive the watermarked stream-stream
+    interval join over a 9-hour tranche stream and assert the state
+    store PLATEAUS (watermark eviction works) instead of growing with
+    the stream. The committed 40-tranche artifact
+    (artifacts/state_growth_r9.json) is the full-scale version of
+    this gate."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.state_growth import (plateau_verdict, run_interval_join,
+                                    write_tranches)
+    root = str(tmp_path / "tranches")
+    write_tranches(spark, root, n_tranches=9, events_per_tranche=400,
+                   n_users=20)
+    recs = run_interval_join(spark, root, 9)
+    assert len(recs) >= 9
+    v = plateau_verdict(recs)
+    assert v["plateau"], v
+    assert v["state_well_below_input"], v
+    # watermark eviction must actually shrink state vs the no-eviction
+    # counterfactual (every input row retained in the join state)
+    assert v["final_state_rows"] * 2 < v["total_input_rows"], v
