@@ -347,12 +347,26 @@ def decode_jpeg_gray(payload: bytes) -> tuple[bytes, int, int]:
     width = height = None
     comp_q = comp_dc = comp_ac = 0
     while True:
-        if i + 4 > len(payload):
+        if i + 2 > len(payload):
             raise JpegError("truncated before SOS")
         if payload[i] != 0xFF:
             raise JpegError("bad marker alignment")
+        # spec-legal 0xFF fill bytes may pad the gap before a marker
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(payload):
+            raise JpegError("truncated before SOS")
         marker = payload[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:      # TEM / RSTn
+            i += 2            # standalone markers carry no length
+            continue
+        if marker == 0xD9:
+            raise JpegError("EOI before SOS")
+        if i + 4 > len(payload):
+            raise JpegError("truncated before SOS")
         seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
+        if seglen < 2:
+            raise JpegError("bad segment length")
         body = payload[i + 4:i + 2 + seglen]
         i += 2 + seglen
         if marker == 0xDB:                                # DQT
@@ -362,6 +376,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[bytes, int, int]:
                 if pq != 0:
                     raise JpegError("16-bit quant unsupported")
                 quant[tq] = list(body[j + 1:j + 65])
+                if len(quant[tq]) != 64:
+                    raise JpegError("truncated DQT")
                 j += 65
         elif marker == 0xC4:                              # DHT
             huff.update(_decode_huff_tables(body))

@@ -92,3 +92,62 @@ def test_dc_prediction_chains_across_blocks():
     px = bytes(((x // 8) * 30 + 5) for _ in range(h) for x in range(w))
     dec, _, _ = decode_jpeg_gray(encode_jpeg_gray(px, w, h))
     assert dec == px
+
+
+# -- round-9 ADVICE robustness: marker-walk + DQT validation ----------
+
+
+def _find_marker(buf: bytes, marker: int) -> int:
+    i = 2
+    while i + 4 <= len(buf):
+        assert buf[i] == 0xFF
+        if buf[i + 1] == marker:
+            return i
+        seglen = int.from_bytes(buf[i + 2:i + 4], "big")
+        i += 2 + seglen
+    raise AssertionError(f"marker {marker:#x} not found")
+
+
+def test_truncated_dqt_raises_jpeg_error():
+    """A DQT whose declared length yields <64 quant entries must
+    raise JpegError up front, not IndexError mid-decode."""
+    enc = bytearray(encode_jpeg_gray(_block_constant(8, 8), 8, 8))
+    at = _find_marker(bytes(enc), 0xDB)
+    # shrink the DQT body: keep 10 of the 65 payload bytes
+    seglen = int.from_bytes(enc[at + 2:at + 4], "big")
+    assert seglen == 2 + 65
+    truncated = enc[:at + 4] + enc[at + 4:at + 4 + 10] \
+        + enc[at + 2 + seglen:]
+    truncated[at + 2:at + 4] = (2 + 10).to_bytes(2, "big")
+    with pytest.raises(JpegError, match="truncated DQT"):
+        decode_jpeg_gray(bytes(truncated))
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """Spec-legal 0xFF fill bytes between segments (other encoders
+    emit them) must not break the marker walk."""
+    enc = bytearray(encode_jpeg_gray(_block_constant(16, 8), 16, 8))
+    at = _find_marker(bytes(enc), 0xDB)
+    padded = enc[:at] + b"\xff\xff\xff" + enc[at:]
+    want, _, _ = decode_jpeg_gray(bytes(enc))
+    got, w, h = decode_jpeg_gray(bytes(padded))
+    assert (got, w, h) == (want, 16, 8)
+
+
+def test_standalone_tem_marker_is_skipped():
+    """TEM (0x01) carries no length field; it must be stepped over,
+    not parsed as a length-prefixed segment."""
+    enc = bytearray(encode_jpeg_gray(_block_constant(8, 8), 8, 8))
+    at = _find_marker(bytes(enc), 0xDB)
+    padded = enc[:at] + b"\xff\x01" + enc[at:]
+    want, _, _ = decode_jpeg_gray(bytes(enc))
+    got, _, _ = decode_jpeg_gray(bytes(padded))
+    assert got == want
+
+
+def test_premature_eoi_raises_named_error():
+    enc = bytearray(encode_jpeg_gray(_block_constant(8, 8), 8, 8))
+    at = _find_marker(bytes(enc), 0xDB)
+    cut = enc[:at] + b"\xff\xd9"
+    with pytest.raises(JpegError, match="EOI before SOS"):
+        decode_jpeg_gray(bytes(cut))
