@@ -663,17 +663,58 @@ class LakeTable:
 
     # -- transactions -------------------------------------------------
 
-    def append(self, updates: DataFrame, batch_id: str,
-               max_retries: int = 10) -> int:
-        """Transactional append: existing files carry by reference,
-        only the new rows are written (zero rewrite)."""
+    def _evolve_schema(self, manifest: dict,
+                       df: DataFrame) -> T.StructType:
+        """ADD-COLUMN evolution (the Delta/Iceberg mergeSchema
+        contract, additive subset): every EXISTING column must appear
+        in ``df`` with its committed type (type drift and dropped
+        columns stay rejected — they would corrupt or orphan data
+        already on disk); columns new to the table append to the
+        schema in ``df`` order. Old data files never rewrite: reads
+        impose the manifest schema, so the parquet reader null-fills
+        the added columns for pre-evolution files."""
+        want = {f.name: f.dataType
+                for f in self._schema(manifest).fields}
+        got = {f.name: f for f in df.schema.fields}
+        missing = sorted(set(want) - set(got))
+        if missing:
+            raise ValueError(
+                f"schema evolution is additive: updates dropped "
+                f"existing columns {missing}")
+        drift = {n: (str(want[n]), str(got[n].dataType))
+                 for n in want if want[n] != got[n].dataType}
+        if drift:
+            raise ValueError(
+                f"schema type mismatch (table_type, update_type): "
+                f"{drift}")
+        evolved = list(self._schema(manifest).fields)
+        evolved += [got[f.name] for f in df.schema.fields
+                    if f.name not in want]
+        return T.StructType(evolved)
 
-        def plan(manifest: dict) -> list[dict]:
-            self._check_schema(manifest, updates)
-            cols = [f.name for f in self._schema(manifest).fields]
+    def append(self, updates: DataFrame, batch_id: str,
+               max_retries: int = 10,
+               schema_evolution: bool = False) -> int:
+        """Transactional append: existing files carry by reference,
+        only the new rows are written (zero rewrite). With
+        ``schema_evolution=True``, columns new to the table widen the
+        manifest schema (see ``_evolve_schema``); without it, any
+        schema drift is rejected at the write."""
+
+        def plan(manifest: dict):
+            if schema_evolution:
+                schema = self._evolve_schema(manifest, updates)
+                schema_json = schema.json()
+            else:
+                self._check_schema(manifest, updates)
+                schema = self._schema(manifest)
+                # keep the committed schema string verbatim (a
+                # fromJson -> json round-trip could renormalize it)
+                schema_json = manifest["schema"]
+            cols = [f.name for f in schema.fields]
             new = self._write_data(updates.select(*cols),
                                    manifest.get("cluster_by", []))
-            return list(manifest["files"]) + new
+            return list(manifest["files"]) + new, schema_json
 
         return self._transact(plan, batch_id, max_retries)
 
@@ -761,8 +802,16 @@ class LakeTable:
             if batch_id in manifest["batch_ids"]:
                 return parent                # idempotent replay: no-op
             try:
+                out = plan(manifest)
+                # a plan may return (entries, schema_json) to commit a
+                # WIDENED schema (append-with-evolution); plain entry
+                # lists keep the parent schema
+                if isinstance(out, tuple):
+                    entries, schema_json = out
+                else:
+                    entries, schema_json = out, manifest["schema"]
                 return self._commit_entries(
-                    plan(manifest), schema_json=manifest["schema"],
+                    entries, schema_json=schema_json,
                     batch_id=batch_id, parent=parent,
                     prev_batch_ids=manifest["batch_ids"],
                     cluster_by=manifest.get("cluster_by", []),

@@ -669,3 +669,59 @@ def test_zorder_high_cardinality_string_hash_fallback(spark, tmp_path):
     assert t.snapshot().count() == 3000
     kept, total = t.pruned_files([("j", "between", (0, 7))])
     assert len(kept) < total        # the integer dimension prunes
+
+
+# --- ADD-COLUMN schema evolution (round 9) ---------------------------
+
+def _mkw(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v bigint, w string")
+
+
+def test_evolved_append_widens_and_nullfills(spark, table):
+    table.append(_mkw(spark, [(4, 40, "x"), (5, 50, "y")]),
+                 batch_id="evo", schema_evolution=True)
+    head = table.snapshot()
+    assert [f.name for f in head.schema.fields] == ["k", "v", "w"]
+    got = sorted((r["k"], r["v"], r["w"]) for r in head.collect())
+    # legacy rows null-fill the new column without a rewrite
+    assert got == [(1, 10, None), (2, 20, None), (3, 30, None),
+                   (4, 40, "x"), (5, 50, "y")]
+    # time travel: the pre-evolution snapshot keeps the OLD schema
+    assert [f.name for f in table.snapshot(version=1).schema.fields] \
+        == ["k", "v"]
+
+
+def test_evolved_append_replay_is_noop(spark, table):
+    u = _mkw(spark, [(4, 40, "x")])
+    table.append(u, batch_id="evo", schema_evolution=True)
+    v = table.version()
+    table.append(u, batch_id="evo", schema_evolution=True)
+    assert table.version() == v
+
+
+def test_evolution_rejects_dropped_and_drifted_columns(spark, table):
+    dropped = spark.createDataFrame([(4, "x")], "k bigint, w string")
+    with pytest.raises(ValueError, match="additive"):
+        table.append(dropped, batch_id="e1", schema_evolution=True)
+    drifted = spark.createDataFrame([(4, 1.5, "x")],
+                                    "k bigint, v double, w string")
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.append(drifted, batch_id="e2", schema_evolution=True)
+
+
+def test_plain_append_still_rejects_new_columns(spark, table):
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(_mkw(spark, [(4, 40, "x")]), batch_id="e3")
+
+
+def test_post_evolution_merge_and_compact_keep_widened_rows(spark,
+                                                            table):
+    table.append(_mkw(spark, [(4, 40, "x")]), batch_id="evo",
+                 schema_evolution=True)
+    table.merge(_mkw(spark, [(1, 11, "z"), (6, 60, "q")]), "k",
+                batch_id="m1")
+    table.compact(batch_id="c1", target_file_bytes=1 << 20)
+    got = sorted((r["k"], r["v"], r["w"])
+                 for r in table.snapshot().collect())
+    assert got == [(1, 11, "z"), (2, 20, None), (3, 30, None),
+                   (4, 40, "x"), (6, 60, "q")]

@@ -181,10 +181,12 @@ def test_nlj_allowlist_stays_small():
 
 
 @pytest.mark.parametrize("name", ["ann_pq_knn", "ann_ivf_knn",
-                                  "perceptron_train"])
+                                  "perceptron_train",
+                                  "late_interaction_maxsim"])
 def test_deallowlisted_queries_prove_their_bounds(spark, sf_dir, name):
-    """The three round-9 graduates: their probe/weight bounds are now
-    plan-visible (limit(5) / Range(1)), so the non-equi rule must
+    """The three round-9 graduates (plus tier 42's MaxSim, born with
+    a plan-visible bound): their probe/weight bounds are plan-visible
+    (limit(5)/limit(4) / Range(1)), so the non-equi rule must
     pass WITHOUT an allowlist entry."""
     from tools.explain_audit import _NESTED_LOOP_OK, audit_nonequi_joins
     assert name not in _NESTED_LOOP_OK
