@@ -222,7 +222,13 @@ def exact_substring_dedup(spark: SparkSession,
     suffix array answers the same >= 2-occurrence question). A
     pathological boilerplate gram concentrates its count partials,
     not the join fan-out (counts are pre-aggregated before the
-    join)."""
+    join). Both joins carry SHUFFLE_HASH hints: their small-LOOKING
+    sides (per-gram counts, per-doc aggregates) are DATA-dimension
+    frames, and at the sf10 rehearsal AQE's compressed-size estimate
+    put the per-doc aggregate under the broadcast threshold and
+    tried to collect ~1 GiB of it to the driver
+    (spark.driver.maxResultSize abort) — the hint pins the
+    scan-shaped plan at every scale."""
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", "text", F.length("text").alias("n")))
     g = (d.filter(F.col("n") >= _SS_L)
@@ -235,14 +241,15 @@ def exact_substring_dedup(spark: SparkSession,
                   .alias("gram")))
     c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     dup = F.col("cnt") >= 2
-    p = (g.join(c, "gram")
+    p = (g.join(c.hint("shuffle_hash"), "gram")
          .groupBy("doc_id")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
               F.sum(F.when(dup, 1).otherwise(0)).cast("bigint")
                .alias("n_dup_pos"),
               F.coalesce(F.min(F.when(dup, F.col("pos"))), F.lit(-1))
                .cast("bigint").alias("first_dup_pos")))
-    return (d.select("doc_id").join(p, "doc_id", "left")
+    return (d.select("doc_id").join(p.hint("shuffle_hash"),
+                                    "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_grams", F.lit(0)).cast("bigint")
                      .alias("n_grams"),

@@ -186,14 +186,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.array([np.asarray(v, dtype=np.float64)
                       for v in pdf["embedding"]])
         nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
-        # round before the threshold compare: BLAS tile order and the
-        # oracle's serial list_dot_product accumulate in different
-        # orders, and a cosine a few ulp either side of 0.4 must not
-        # flip is_dup between engines (oracle rounds identically)
-        sim = np.round((x @ x.T) / np.outer(nrm, nrm), 9)
-        # strictly-lower triangle: does any LOWER-id vector sit in
-        # this vector's epsilon-ball?
-        is_dup = (np.tril(sim >= 0.4, k=-1)).any(axis=1)
+        # row-chunked matmul: the full |c| x |c| similarity tile is
+        # never resident (an oversized cluster would otherwise OOM
+        # this one task — the sf10 rehearsal's fixed-label blocks hit
+        # 50k rows); work is still sum |c|^2 but memory is
+        # chunk x |c|. The dot/(|a||b|) float path and the round-
+        # before-compare are kept EXACTLY as before (and as the
+        # oracle computes them), so chunking cannot flip a cosine a
+        # few ulp either side of 0.4.
+        chunk = 2048
+        is_dup = np.zeros(len(x), dtype=bool)
+        for lo in range(0, len(x), chunk):
+            hi = min(lo + chunk, len(x))
+            sim = np.round((x[lo:hi] @ x.T)
+                           / np.outer(nrm[lo:hi], nrm), 9)
+            # strictly-lower triangle: does any LOWER-id vector sit
+            # in this vector's epsilon-ball?
+            mask = (np.arange(len(x))[None, :]
+                    < np.arange(lo, hi)[:, None])
+            is_dup[lo:hi] = ((sim >= 0.4) & mask).any(axis=1)
         return pd.DataFrame({"vec_id": pdf["vec_id"],
                              "label": pdf["label"].astype("int32"),
                              "is_dup": is_dup})

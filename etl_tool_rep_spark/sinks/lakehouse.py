@@ -338,6 +338,12 @@ class LakeTable:
                    else list(cluster_by or []))
         n = num_files or df.sparkSession.sparkContext.defaultParallelism
         df = _apply_layout(df, cluster, cluster_mode, n)
+        if not cluster and num_files:
+            # honor an EXPLICIT file count for unclustered tables too
+            # (_apply_layout only repartitions when a cluster key
+            # drives the layout); tables created from tiny frames
+            # otherwise inherit one near-empty file per task slot
+            df = df.repartition(num_files)
         entries = t._write_data(df, stat_cols=cluster)
         t._commit_entries(entries, schema_json=df.schema.json(),
                           batch_id=batch_id, parent=0,
