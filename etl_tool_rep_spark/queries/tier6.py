@@ -133,6 +133,15 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic dedup (SemDeDup: cluster-blocked cosine, greedy keep-by-id)
 # ---------------------------------------------------------------------------
 
+#: max vectors a single similarity task may own.  A label block over
+#: the cap is split into m = ceil(n/cap) hash sub-groups and the
+#: all-pairs work runs as the m(m+1)/2 triangle tiles over those
+#: sub-groups — each task holds at most 2*cap rows, so a hot cluster
+#: bounds the WORST TASK at cap^2-ish work instead of |c|^2.
+_SD_CAP = 8192
+_SD_CHUNK = 2048  # matmul row-chunk: tile memory is chunk x 2*cap
+
+
 @query(
     "semantic_dedup",
     oracle="""
@@ -161,56 +170,98 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Greedy keep-lowest-id inside an epsilon-ball, per Abbas et al.,
     "SemDeDup" (arXiv:2303.09540).
 
-    Scale: this is the whole point of the cluster blocking — the
-    quadratic pair work runs per-label, so cost is sum over clusters
-    of |c|^2 instead of N^2, and each label block is independent
-    (perfectly parallel — one shuffle on label total). Within a block
-    the pairwise cosines are ONE BLAS matmul over an Arrow batch
-    (applyInPandas), not |c|^2 interpreted dot-product expressions:
-    measured ~5x faster at sf0.1, and the gap widens with |c|. For
-    clusters too large for an O(|c|^2) similarity tile, chunk the
-    matmul row-block by row-block (the tile never needs to be fully
-    resident); SemDeDup's k ~ sqrt(N) keeps |c| bounded by design.
+    Scale: cluster blocking makes the pair work sum|c|^2, not N^2 —
+    but a HOT cluster (one label holding a large share of the corpus)
+    would still pin one task at |c|^2.  So blocks over ``_SD_CAP``
+    are re-split: vectors hash into m = ceil(|c|/cap) sub-groups and
+    each unordered sub-group pair (i, j) becomes its own task holding
+    groups i and j (the standard triangle-tiled all-pairs partition,
+    Ullman MMDS ch.3 block scheme).  Every pair lands in EXACTLY one
+    tile — (i, i) tiles own within-group pairs, (i, j) tiles own
+    cross-group pairs — so the result is exact, no epsilon pruning.
+    Replication is m copies per row (|c|^2/cap total tile input), the
+    unavoidable price of exact all-pairs with a bounded worst task;
+    a per-vector ``bool_or`` merges the tile verdicts.  The common
+    case (|c| <= cap, m = 1) degenerates to one tile per label.
 
-    A pure-JVM declarative form (self-join + zip_with dot) is kept in
-    git history; it mirrors the oracle SQL exactly but evaluates the
-    higher-order dot interpreted per pair.
+    Within a tile the pairwise cosines are chunked BLAS matmuls over
+    an Arrow batch (applyInPandas), not interpreted per-pair dots:
+    the per-element formula round(dot/(|a||b|), 9) >= 0.4 is exactly
+    the oracle's; chunking and tiling keep that formula per element,
+    while ulp-level BLAS accumulation-order differences remain
+    covered by the existing round-before-compare mitigation.
     """
     import numpy as np
     import pandas as pd
 
     em = load(spark, sf_dir, "embeddings")
+    # per-label sub-group counts: label is the k-means cluster
+    # dimension (k ~ sqrt(N) — a bounded-cardinality aggregate), so
+    # an explicit broadcast is safe at any corpus size.
+    cnt = em.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(_SD_CAP)).cast("int")
+         .alias("_m"))
+    g = F.pmod(F.xxhash64("vec_id"), F.col("_m")).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.col("_m") - 1),
+        lambda o: F.struct(F.least(g, o).alias("ti"),
+                           F.greatest(g, o).alias("tj")))
+    ex = (em.join(F.broadcast(cnt), "label")
+          .select("vec_id", "label", "embedding", g.alias("_g"),
+                  F.explode(tiles).alias("_t"))
+          .select("vec_id", "label", "embedding", "_g",
+                  F.col("_t.ti").alias("_ti"),
+                  F.col("_t.tj").alias("_tj")))
 
-    def _block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         x = np.array([np.asarray(v, dtype=np.float64)
                       for v in pdf["embedding"]])
         nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
-        # row-chunked matmul: the full |c| x |c| similarity tile is
-        # never resident (an oversized cluster would otherwise OOM
-        # this one task — the sf10 rehearsal's fixed-label blocks hit
-        # 50k rows); work is still sum |c|^2 but memory is
-        # chunk x |c|. The dot/(|a||b|) float path and the round-
-        # before-compare are kept EXACTLY as before (and as the
-        # oracle computes them), so chunking cannot flip a cosine a
-        # few ulp either side of 0.4.
-        chunk = 2048
+        ids = pdf["vec_id"].to_numpy()
+        ti, tj = int(pdf["_ti"].iat[0]), int(pdf["_tj"].iat[0])
         is_dup = np.zeros(len(x), dtype=bool)
-        for lo in range(0, len(x), chunk):
-            hi = min(lo + chunk, len(x))
-            sim = np.round((x[lo:hi] @ x.T)
-                           / np.outer(nrm[lo:hi], nrm), 9)
-            # strictly-lower triangle: does any LOWER-id vector sit
-            # in this vector's epsilon-ball?
-            mask = (np.arange(len(x))[None, :]
-                    < np.arange(lo, hi)[:, None])
-            is_dup[lo:hi] = ((sim >= 0.4) & mask).any(axis=1)
+        if ti == tj:
+            # diagonal tile: within-sub-group pairs, strictly-lower
+            # id direction, row-chunked so the full tile is never
+            # resident.
+            for lo in range(0, len(x), _SD_CHUNK):
+                hi = min(lo + _SD_CHUNK, len(x))
+                sim = np.round((x[lo:hi] @ x.T)
+                               / np.outer(nrm[lo:hi], nrm), 9)
+                mask = ids[None, :] < ids[lo:hi, None]
+                is_dup[lo:hi] = ((sim >= 0.4) & mask).any(axis=1)
+        else:
+            # off-diagonal tile: ONLY cross-group pairs (each
+            # within-group pair belongs to its diagonal tile), both
+            # id directions since either side may hold the lower id.
+            ia = (pdf["_g"].to_numpy() == ti)
+            xa, xb = x[ia], x[~ia]
+            na, nb = nrm[ia], nrm[~ia]
+            ida, idb = ids[ia], ids[~ia]
+            dupa = np.zeros(len(xa), dtype=bool)
+            dupb = np.zeros(len(xb), dtype=bool)
+            for lo in range(0, len(xa), _SD_CHUNK):
+                hi = min(lo + _SD_CHUNK, len(xa))
+                sim = np.round((xa[lo:hi] @ xb.T)
+                               / np.outer(na[lo:hi], nb), 9)
+                hit = sim >= 0.4
+                dupa[lo:hi] = (hit & (idb[None, :]
+                                      < ida[lo:hi, None])).any(axis=1)
+                dupb |= (hit & (ida[lo:hi, None]
+                                < idb[None, :])).any(axis=0)
+            is_dup[ia], is_dup[~ia] = dupa, dupb
         return pd.DataFrame({"vec_id": pdf["vec_id"],
                              "label": pdf["label"].astype("int32"),
                              "is_dup": is_dup})
 
-    return em.groupBy("label").applyInPandas(
-        _block, "vec_id long, label int, is_dup boolean")
+    part = ex.groupBy("label", "_ti", "_tj").applyInPandas(
+        _tile, "vec_id long, label int, is_dup boolean")
+    # merge tile verdicts: a vector is a dup if ANY tile saw a
+    # lower-id epsilon-ball neighbour (diagonal or cross).
+    return (part.groupBy("vec_id", "label")
+            .agg(F.bool_or("is_dup").alias("is_dup"))
+            .select("vec_id", "label", "is_dup"))
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,11 @@ _DEFAULTS: dict[str, str] = {
     # catalog.load converts back to TimestampType.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # keep stage-progress bars out of captured stdout: committed
+    # sweep/audit logs must contain every per-key line verbatim (the
+    # \r-rewriting progress writer can swallow lines when stdout is a
+    # pipe), and the driver parses bench.py's single JSON line.
+    "spark.ui.showConsoleProgress": "false",
     # static conf: bucketed saveAsTable needs a warehouse; keep it out
     # of the repo working dir
     "spark.sql.warehouse.dir": os.environ.get(
