@@ -170,8 +170,10 @@ def wav_decode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SS_L = 25  # duplicated-span gram length (characters)
 
-_SS_ORACLE = f"""
-    WITH d AS (
+# shared CTE prefix for the exact-substring family (also used by
+# tier 44's exact_substring_spans): docs -> positions -> grams ->
+# per-gram global counts.
+_SS_CTES = f"""d AS (
       SELECT doc_id, text, length(text) AS n FROM documents
     ), g0 AS (
       SELECT doc_id, text,
@@ -183,7 +185,10 @@ _SS_ORACLE = f"""
       FROM g0
     ), c AS (
       SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
-    ), p AS (
+    )"""
+
+_SS_ORACLE = f"""
+    WITH {_SS_CTES}, p AS (
       SELECT g.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_grams,
              CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
@@ -203,6 +208,35 @@ _SS_ORACLE = f"""
 """
 
 
+def _dup_positions(spark: SparkSession,
+                   sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared pipeline for the exact-substring family: returns
+    ``(docs(doc_id, n), dup_rows(doc_id, pos, gram))`` where a dup
+    row is a position whose L-char gram occurs >= 2 times corpus-wide
+    — counted on xxhash64(gram) 8-byte keys and exactly verified on
+    the gram string within collided buckets (see
+    ``exact_substring_dedup`` for the scale rationale)."""
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", "text", F.length("text").alias("n")))
+    g = (d.filter(F.col("n") >= _SS_L)
+         .select("doc_id", "text",
+                 F.explode(F.sequence(F.lit(1),
+                                      F.col("n") - (_SS_L - 1)))
+                  .alias("pos"))
+         .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                 F.col("text").substr(F.col("pos"), F.lit(_SS_L))
+                  .alias("gram"))
+         .withColumn("_h", F.xxhash64("gram")))
+    coll = (g.groupBy("_h").agg(F.count(F.lit(1)).alias("hcnt"))
+            .filter(F.col("hcnt") >= 2).select("_h"))
+    gv = g.join(coll.hint("shuffle_hash"), "_h", "left_semi")
+    wg = Window.partitionBy("_h", "gram")
+    dup_rows = (gv.withColumn("gcnt", F.count(F.lit(1)).over(wg))
+                .filter(F.col("gcnt") >= 2)
+                .select("doc_id", "pos", "gram"))
+    return d, dup_rows
+
+
 @query("exact_substring_dedup", oracle=_SS_ORACLE)
 def exact_substring_dedup(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
@@ -215,50 +249,46 @@ def exact_substring_dedup(spark: SparkSession,
     none), and coverage in basis points — the quantities a curation
     pipeline thresholds on before cutting spans.
 
-    Plan: one explode to |chars| gram rows, one groupBy(gram) with
-    map-side partial counts, one equi-join back, one groupBy(doc).
-    Everything is a hash shuffle on bounded-width keys — linear in
-    corpus characters, the published scalable shape (the paper's
-    suffix array answers the same >= 2-occurrence question). A
-    pathological boilerplate gram concentrates its count partials,
-    not the join fan-out (counts are pre-aggregated before the
-    join). Both joins carry SHUFFLE_HASH hints: their small-LOOKING
-    sides (per-gram counts, per-doc aggregates) are DATA-dimension
-    frames, and at the sf10 rehearsal AQE's compressed-size estimate
-    put the per-doc aggregate under the broadcast threshold and
-    tried to collect ~1 GiB of it to the driver
-    (spark.driver.maxResultSize abort) — the hint pins the
-    scan-shaped plan at every scale."""
-    d = (load(spark, sf_dir, "documents")
-         .select("doc_id", "text", F.length("text").alias("n")))
-    g = (d.filter(F.col("n") >= _SS_L)
-         .select("doc_id", "text",
-                 F.explode(F.sequence(F.lit(1),
-                                      F.col("n") - (_SS_L - 1)))
-                  .alias("pos"))
-         .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
-                 F.col("text").substr(F.col("pos"), F.lit(_SS_L))
-                  .alias("gram")))
-    c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
-    dup = F.col("cnt") >= 2
-    p = (g.join(c.hint("shuffle_hash"), "gram")
-         .groupBy("doc_id")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-              F.sum(F.when(dup, 1).otherwise(0)).cast("bigint")
-               .alias("n_dup_pos"),
-              F.coalesce(F.min(F.when(dup, F.col("pos"))), F.lit(-1))
-               .cast("bigint").alias("first_dup_pos")))
-    return (d.select("doc_id").join(p.hint("shuffle_hash"),
-                                    "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_grams", F.lit(0)).cast("bigint")
-                     .alias("n_grams"),
+    Plan (round 10: hash-narrowed shuffle keys + exact collision
+    verify). The >= 2-occurrence test runs in two exact stages:
+
+    1. count positions per ``xxhash64(gram)`` — the count shuffle
+       carries (8-byte key, count) partials with map-side combine,
+       ~4x lighter than the old 25-char-string partials;
+    2. only positions whose HASH collided (hcnt >= 2 — a superset of
+       duplicated grams, since equal grams always share a hash) are
+       verified on the gram string itself: a window count over
+       (hash, gram) restores the exact per-gram global count inside
+       the collided subset, so a 64-bit collision between DIFFERENT
+       grams (~N^2/2^64 expected at 100 TB — real, not negligible)
+       can never mark a unique gram duplicated. False negatives are
+       impossible; false positives are verified away. The verify
+       shuffle moves ONLY the collided subset's strings, not the
+       corpus.
+
+    The per-doc aggregate then runs over the duplicated positions
+    alone (the old plan re-aggregated every corpus position);
+    ``n_grams`` is arithmetic (n - L + 1), not a count. Joins carry
+    SHUFFLE_HASH hints: their small-LOOKING sides (collided-hash
+    set, per-doc dup aggregates) are DATA-dimension frames, and at
+    the sf10 rehearsal AQE's compressed-size estimate once tried to
+    broadcast ~1 GiB of per-doc aggregate to the driver — the hint
+    pins the scan-shaped plan at every scale."""
+    d, dup_rows = _dup_positions(spark, sf_dir)
+    p = dup_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pos"),
+        F.min("pos").cast("bigint").alias("first_dup_pos"))
+    ng = F.greatest(F.col("n") - F.lit(_SS_L - 1), F.lit(0))
+    return (d.select("doc_id", ng.cast("bigint").alias("n_grams"))
+            .join(p.hint("shuffle_hash"), "doc_id", "left")
+            .select("doc_id", "n_grams",
                     F.coalesce("n_dup_pos", F.lit(0)).cast("bigint")
                      .alias("n_dup_pos"),
                     F.coalesce("first_dup_pos", F.lit(-1))
                      .cast("bigint").alias("first_dup_pos"),
-                    F.when(F.coalesce("n_grams", F.lit(0)) > 0,
-                           F.expr("(10000 * n_dup_pos) div n_grams"))
+                    F.when(F.col("n_grams") > 0,
+                           F.expr("(10000 * coalesce(n_dup_pos, 0))"
+                                  " div n_grams"))
                      .otherwise(0).cast("bigint").alias("dup_bp")))
 
 
