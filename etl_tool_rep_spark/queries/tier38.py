@@ -563,22 +563,35 @@ def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("n_rows") > 0)
 
 
-@query(
-    "triple_basket",
-    oracle="""
+#: max distinct item classes a basket may contribute to the lattice
+#: expansion. A basket over the cap is excluded from BOTH the triple
+#: and the pair expansion (support and confidence stay mutually
+#: consistent — an excluded basket feeds neither numerator nor
+#: denominator). With 50 item classes the cap equals the universe,
+#: so it never fires on any fixture; it exists so a 1000-item retail
+#: basket bounds at C(cap,3) instead of C(1000,3) ~ 1.7e8 rows from
+#: one key.
+_TB_CAP = 50
+
+_TB_ORACLE = f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS i
       FROM lineitem
+    ), bsz AS (
+      SELECT o, COUNT(*) AS bs FROM items GROUP BY o
+    ), capped AS (
+      SELECT i.o, i.i FROM items i JOIN bsz USING (o)
+      WHERE bsz.bs <= {_TB_CAP}
     ), triples AS (
       SELECT a.i AS i1, b.i AS i2, c.i AS i3,
              CAST(COUNT(*) AS BIGINT) AS support
-      FROM items a
-      JOIN items b ON a.o = b.o AND a.i < b.i
-      JOIN items c ON b.o = c.o AND b.i < c.i
+      FROM capped a
+      JOIN capped b ON a.o = b.o AND a.i < b.i
+      JOIN capped c ON b.o = c.o AND b.i < c.i
       GROUP BY 1, 2, 3
     ), pairs AS (
       SELECT a.i AS i1, b.i AS i2, CAST(COUNT(*) AS BIGINT) AS psup
-      FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+      FROM capped a JOIN capped b ON a.o = b.o AND a.i < b.i
       GROUP BY 1, 2
     )
     SELECT t.i1, t.i2, t.i3, t.support,
@@ -586,8 +599,10 @@ def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS conf_12_3_e6
     FROM triples t JOIN pairs p ON p.i1 = t.i1 AND p.i2 = t.i2
     WHERE t.support >= 5
-    """,
-)
+"""
+
+
+@query("triple_basket", oracle=_TB_ORACLE)
 def triple_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-itemset market-basket mining with rule confidence: item
     classes (part key mod 50) per order, all a<b<c triples counted
@@ -595,28 +610,41 @@ def triple_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair support. Extends the pairwise `market_basket` key one level
     up the Apriori lattice.
 
-    Scale: candidate triples are generated only through the
-    order-key equi-joins — volume is sum over orders of
-    C(basket_size, 3), bounded by the ~7-line TPC-H basket (C(7,3)
-    = 35 per order, linear in orders); pair supports reuse the same
-    join shape. Never an item-universe cross join."""
+    Scale (round 10 — basket-set form with a fan-out cap): baskets
+    materialize ONCE as sorted per-order class sets (a single
+    map-side-combinable shuffle on the order key); triples and pairs
+    explode JVM-side from each set, so the old triple self-join's
+    two extra corpus shuffles are gone. Baskets above ``_TB_CAP``
+    distinct classes are excluded from BOTH expansions (the cap is
+    in the oracle too — semantics, not an approximation), bounding
+    the per-basket fan-out at C(cap,3) where an uncapped 1000-item
+    retail basket would emit C(1000,3) ~ 1.7e8 rows from one shuffle
+    key. Here the class universe (50) makes the cap a no-op; see
+    SCALE.md for the measured basket-size distribution."""
     li = load(spark, sf_dir, "lineitem")
-    items = (li.select(F.col("l_orderkey").alias("o"),
-                       (F.col("l_partkey") % 50).alias("i"))
-             .distinct())
-    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
-    triples = (a.join(b, (F.col("a.o") == F.col("b.o"))
-                      & (F.col("a.i") < F.col("b.i")))
-               .join(c, (F.col("b.o") == F.col("c.o"))
-                     & (F.col("b.i") < F.col("c.i")))
-               .groupBy(F.col("a.i").alias("i1"),
-                        F.col("b.i").alias("i2"),
-                        F.col("c.i").alias("i3"))
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         (F.col("l_partkey") % 50).alias("i"))
+               .groupBy("o").agg(F.collect_set("i").alias("_s0"))
+               .filter(F.size("_s0") <= _TB_CAP)
+               .select(F.array_sort("_s0").alias("_s"))
+               .localCheckpoint(eager=False))
+    triples_expr = F.expr("""
+        flatten(transform(_s, x ->
+          flatten(transform(filter(_s, y -> y > x), y ->
+            transform(filter(_s, z -> z > y), z ->
+              struct(x AS i1, y AS i2, z AS i3))))))""")
+    pairs_expr = F.expr("""
+        flatten(transform(_s, x ->
+          transform(filter(_s, y -> y > x), y ->
+            struct(x AS i1, y AS i2))))""")
+    triples = (baskets.select(F.explode(triples_expr).alias("_t"))
+               .groupBy(F.col("_t.i1").alias("i1"),
+                        F.col("_t.i2").alias("i2"),
+                        F.col("_t.i3").alias("i3"))
                .agg(F.count(F.lit(1)).cast("bigint").alias("support")))
-    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
-                    & (F.col("a.i") < F.col("b.i")))
-             .groupBy(F.col("a.i").alias("i1"),
-                      F.col("b.i").alias("i2"))
+    pairs = (baskets.select(F.explode(pairs_expr).alias("_p"))
+             .groupBy(F.col("_p.i1").alias("i1"),
+                      F.col("_p.i2").alias("i2"))
              .agg(F.count(F.lit(1)).cast("bigint").alias("psup")))
     return (triples.filter(F.col("support") >= 5)
             .join(pairs, ["i1", "i2"])
