@@ -12,11 +12,13 @@ standard library. This module implements a spec-conformant subset:
   PCM sub-format GUID, 16-bit samples, 1..8 channels;
 * encoder: canonical 44-byte header, interleaved int16 LE frames;
 * decoder: a general RIFF chunk walk (skips LIST/INFO/fact/cue and
-  any other chunk, honoring the spec's even-byte chunk padding),
-  ``fmt `` consistency validation (block align, byte rate), and a
-  ``data`` chunk that may legally be truncated by the RIFF size
-  field — malformed payloads raise ``WavError``, never return
-  garbage.
+  any other chunk, honoring the spec's even-byte chunk padding) and
+  ``fmt `` consistency validation (block align, byte rate). Any
+  chunk whose declared size crosses the container end is REJECTED
+  (``WavError``, never garbage), with one documented accommodation:
+  a RIFF size field of 0 or 0xFFFFFFFF — the placeholder streaming
+  writers leave when they can't seek back to patch the header — is
+  treated as "container extends to the end of the payload".
 
 Exactness note for the oracle gate (``queries/tier42.wav_decode_
 exact``): PCM is lossless, so decode(encode(samples)) == samples
@@ -85,7 +87,12 @@ def decode_wav_pcm16(payload: bytes) -> tuple[bytes, int, int]:
     riff, riff_size, wave = struct.unpack_from("<4sI4s", payload, 0)
     if riff != b"RIFF" or wave != b"WAVE":
         raise WavError("not a RIFF/WAVE payload")
-    end = min(len(payload), 8 + riff_size)
+    if riff_size in (0, 0xFFFFFFFF):
+        # streaming-writer placeholder: the writer never patched the
+        # header, so the container is the whole payload
+        end = len(payload)
+    else:
+        end = min(len(payload), 8 + riff_size)
     pos = 12
     fmt = None
     while pos + 8 <= end:

@@ -224,6 +224,19 @@ def lakehouse_vacuum_retention(spark: SparkSession,
         t = LakeTable.create(spark, root, base, batch_id="create",
                              num_files=8)
         t.delete_where(F.expr("k % 3 = 0"), batch_id="delete-1")
+        # the reclaim contract below assumes the DELETE rewrote EVERY
+        # v1 file (the oracle hardcodes v1_reclaimed = TRUE). Enforce
+        # that assumption loudly: a skewed/tiny fixture that leaves a
+        # v1 file carried by reference is a FIXTURE error, not an
+        # oracle mismatch to puzzle over.
+        carried = ({e["path"] for e in t._manifest(1)["files"]}
+                   & {e["path"] for e in t._manifest(2)["files"]})
+        if carried:
+            raise ValueError(
+                "lakehouse_vacuum_retention fixture error: delete "
+                f"left {len(carried)} v1 file(s) carried by "
+                "reference; every v1 file must contain a k % 3 == 0 "
+                "row for the reclaim contract to hold")
         t.compact(batch_id="compact-1", target_file_bytes=1 << 20)
         removed = t.vacuum(keep_last=2)
         out = (t.snapshot()

@@ -710,7 +710,15 @@ class LakeTable:
         def plan(manifest: dict):
             if schema_evolution:
                 schema = self._evolve_schema(manifest, updates)
-                schema_json = schema.json()
+                n_committed = len(self._schema(manifest).fields)
+                if len(schema.fields) == n_committed:
+                    # no genuinely new columns: keep the committed
+                    # schema string verbatim (same rule as the
+                    # non-evolution branch — a fromJson -> json
+                    # round-trip could renormalize it)
+                    schema_json = manifest["schema"]
+                else:
+                    schema_json = schema.json()
             else:
                 self._check_schema(manifest, updates)
                 schema = self._schema(manifest)

@@ -113,3 +113,27 @@ def test_oversized_data_chunk_refused_before_allocation():
     wav = struct.pack("<4sI4s", b"RIFF", (1 << 29), b"WAVE") + body
     with pytest.raises(WavError):
         decode_wav_pcm16(wav)
+
+
+def test_streaming_writer_riff_size_placeholders():
+    """RIFF size 0 / 0xFFFFFFFF (streaming-writer placeholders) must
+    decode as 'container extends to payload end'; a data chunk whose
+    declared size crosses a REAL container end stays rejected."""
+    import struct
+
+    import pytest
+
+    from etl_tool_rep_spark.operators.wav import (WavError,
+                                                  decode_wav_pcm16,
+                                                  encode_wav_pcm16)
+
+    pcm = struct.pack("<8h", *range(8))
+    wav = encode_wav_pcm16(pcm, 8000, channels=1)
+    for placeholder in (0, 0xFFFFFFFF):
+        patched = wav[:4] + struct.pack("<I", placeholder) + wav[8:]
+        got, rate, ch = decode_wav_pcm16(patched)
+        assert (got, rate, ch) == (pcm, 8000, 1)
+    # real (non-placeholder) RIFF size that truncates the data chunk
+    truncated = wav[:4] + struct.pack("<I", 36 + len(pcm) - 2) + wav[8:]
+    with pytest.raises(WavError):
+        decode_wav_pcm16(truncated)

@@ -94,14 +94,23 @@ def run_interval_join(spark, root: str, n_tranches: int) -> list[dict]:
         if not ops:
             continue
         op = ops[0]
-        recs.append({
+        rec = {
             "batch": p["batchId"],
             "input_rows": p.get("numInputRows", 0),
             "state_rows": op.get("numRowsTotal"),
             "state_bytes": op.get("memoryUsedBytes"),
             "dropped_by_watermark":
                 op.get("numRowsDroppedByWatermark", 0),
-        })
+        }
+        # RocksDB provider: memoryUsedBytes is NATIVE (off-heap)
+        # block-cache + memtable usage; record the breakdown so the
+        # artifact shows where state actually lives
+        cm = op.get("customMetrics") or {}
+        for k in ("rocksdbTotalMemoryUsage", "rocksdbSstFileSize",
+                  "rocksdbPinnedBlocksMemoryUsage"):
+            if k in cm:
+                rec[k] = cm[k]
+        recs.append(rec)
     return sorted(recs, key=lambda r: r["batch"])
 
 
@@ -140,8 +149,12 @@ def main() -> None:
     write_tranches(spark, root, args.tranches)
     recs = run_interval_join(spark, root, args.tranches)
     verdict = plateau_verdict(recs)
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "default")
     payload = {"config": {"tranches": args.tranches,
-                          "horizon": "1 hour", "watermark": "1 hour"},
+                          "horizon": "1 hour", "watermark": "1 hour",
+                          "state_store_provider":
+                              provider.rsplit(".", 1)[-1]},
                "batches": recs, "verdict": verdict}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
