@@ -69,6 +69,7 @@ from . import tier41  # noqa: F401,E402
 from . import tier42  # noqa: F401,E402
 from . import tier43  # noqa: F401,E402
 from . import tier44  # noqa: F401,E402
+from . import tier45  # noqa: F401,E402
 
 if _HAVE_NUMPY_STACK:  # Pandas-UDF/numpy-kernel tiers
     from . import tier3  # noqa: F401,E402
