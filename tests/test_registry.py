@@ -9,7 +9,7 @@ import sys
 
 from etl_tool_rep_spark.queries import ORACLES, QUERIES
 
-EXPECTED = 324
+EXPECTED = 325
 
 
 def test_registry_counts():

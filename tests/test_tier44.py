@@ -102,3 +102,22 @@ def test_incremental_ann_matches_monolithic_rebuild(spark, sf_dir):
     again = [(r["vec_id"], r["adc_dist"], r["cid"]) for r in
              tier44.incremental_ann_index(spark, sf_dir).collect()]
     assert incr == again
+
+
+def test_incremental_ann_retire_excludes_slice(spark, sf_dir):
+    from etl_tool_rep_spark.queries.tier44 import (_ANN_TOPN, _AR_MOD,
+                                                   _AR_REM)
+
+    rows = QUERIES["incremental_ann_retire"](spark, sf_dir).collect()
+    assert len(rows) == _ANN_TOPN
+    # retirement really removed the slice: no retired vec can rank
+    assert all(r["vec_id"] % _AR_MOD != _AR_REM for r in rows)
+    # idempotent replay: create + one effective delete = version 2
+    assert all(r["n_versions"] == 2 for r in rows)
+    # the surviving candidates rank identically to the un-retired
+    # index minus the retired slice (top-N prefix property)
+    base = QUERIES["incremental_ann_index"](spark, sf_dir).collect()
+    surviving = [(r["vec_id"], r["adc_dist"]) for r in base
+                 if r["vec_id"] % _AR_MOD != _AR_REM]
+    got = [(r["vec_id"], r["adc_dist"]) for r in rows]
+    assert got[:len(surviving)] == surviving[:len(got)]
