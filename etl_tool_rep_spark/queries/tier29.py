@@ -91,8 +91,14 @@ def kcore_decomposition(spark: SparkSession,
     monotonically, and `localCheckpoint` truncates the plan exactly
     like the other iterative operators in `operators/graph.py`.
     """
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey")
+    # pre-distinct (order, supplier) BEFORE the self-join: a supplier
+    # appearing on m lines of one order would otherwise fan the join
+    # out m^2-fold per pair only for the final distinct to collapse
+    # it — at sf10 this was the 360M-row transient that OOM'd a 64 g
+    # heap (SCALE.md). Edge set is identical (the oracle's DISTINCT
+    # collapses the same duplicates).
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct())
     x, y = li.alias("x"), li.alias("y")
     edges = (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
                     & (F.col("x.l_suppkey") != F.col("y.l_suppkey")))
