@@ -358,9 +358,13 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # market-basket pair co-occurrence with support and lift
 # ---------------------------------------------------------------------------
 
+# Pair-expansion basket cap, shared by the Spark plan and the oracle
+# SQL below so the two can never drift (same pattern as tier38._TB_CAP).
+_MB_CAP = 100
+
 @query(
     "market_basket",
-    oracle="""
+    oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
@@ -375,7 +379,7 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      JOIN bsz s ON s.l_orderkey = a.l_orderkey AND s.bs <= 100
+      JOIN bsz s ON s.l_orderkey = a.l_orderkey AND s.bs <= {_MB_CAP}
       GROUP BY a.l_partkey, b.l_partkey)
     SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
            ROUND(n_ab / CAST(n.n AS DOUBLE), 6) AS support,
@@ -412,7 +416,7 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap never fires here. On a real corpus tune the cap or
     add a `heavy_hitters` frequent-part pre-pass.
     """
-    max_basket_size = 100
+    max_basket_size = _MB_CAP
     li = load(spark, sf_dir, "lineitem")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.collect_set("l_partkey").alias("_s")))

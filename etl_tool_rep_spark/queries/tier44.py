@@ -48,8 +48,10 @@ from .tier42 import _SS_CTES, _SS_L, _dup_positions
 # exact_substring_spans — maximal duplicated spans (gaps-and-islands)
 # ---------------------------------------------------------------------------
 
-_SPAN_ORACLE = f"""
-    WITH {_SS_CTES}, dp AS (
+# Shared island CTE body (dedup positions -> merged maximal spans);
+# composed into _SPAN_ORACLE here and tier45's _CUT_ORACLE, so the
+# two oracles can never drift apart (mirrors tier42's _SS_CTES).
+_ISLAND_CTES = f"""{_SS_CTES}, dp AS (
       SELECT g.doc_id, g.pos
       FROM g JOIN c USING (gram) WHERE c.cnt >= 2
     ), brk AS (
@@ -66,7 +68,10 @@ _SPAN_ORACLE = f"""
     ), spans AS (
       SELECT doc_id, i, MIN(pos) AS s, MAX(pos) + {_SS_L} AS e
       FROM isl GROUP BY doc_id, i
-    ), per AS (
+    )"""
+
+_SPAN_ORACLE = f"""
+    WITH {_ISLAND_CTES}, per AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
              CAST(SUM(e - s) AS BIGINT) AS span_chars,
              CAST(MAX(e - s) AS BIGINT) AS max_span

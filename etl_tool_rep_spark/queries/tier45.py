@@ -35,7 +35,7 @@ from ..catalog import load
 from ..functions.exprs import let_bind
 from .registry import query
 from .tier42 import _SS_L
-from .tier44 import _SPAN_ORACLE  # noqa: F401  (span family sibling)
+from .tier44 import _ISLAND_CTES  # shared span-island CTE body
 
 # ---------------------------------------------------------------------------
 # gopher_repetition — repeated n-gram character fractions
@@ -106,8 +106,11 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_of = (lambda k: let_bind(F.col("ws"), lambda ws: F.transform(
         F.sequence(F.lit(0), F.size(ws) - F.lit(k)),
         lambda i: F.array_join(F.slice(ws, i + 1, k), " "))))
-    g2 = (d.select("doc_id", "n_chars",
-                   F.explode(gram_of(2)).alias("gram"))
+    g2 = (d.filter(F.size("ws") >= 2)  # 1-word doc: sequence(0,-1)
+           # descends to [0,-1] and slice() throws; the oracle's
+           # range(len-1) is simply empty, so the doc is excluded.
+          .select("doc_id", "n_chars",
+                  F.explode(gram_of(2)).alias("gram"))
           .groupBy("doc_id", "n_chars", "gram")
           .agg(F.count(F.lit(1)).alias("cnt")))
     w = Window.partitionBy("doc_id").orderBy(
@@ -266,10 +269,10 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact_substring_cut — apply the maximal-span cuts to the text
 # ---------------------------------------------------------------------------
 
-# reuse tier 44's island CTEs verbatim (same WITH-body up to `spans`),
+# reuse tier 44's island CTEs verbatim (shared _ISLAND_CTES body),
 # then slice the kept segments between spans
-_CUT_ORACLE = _SPAN_ORACLE.split("), per AS")[0] + f"""
-    ), segs AS (
+_CUT_ORACLE = f"""
+    WITH {_ISLAND_CTES}, segs AS (
       SELECT s.doc_id,
              s.s, s.e,
              COALESCE(lag(s.e) OVER (PARTITION BY s.doc_id

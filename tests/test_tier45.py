@@ -39,6 +39,24 @@ def test_gopher_handbuilt(spark, tmp_path):
     assert r["dup5_bp"] == (10000 * 2 * 9) // 21
 
 
+def test_gopher_single_word_doc(spark, tmp_path):
+    """A 1-word doc has no 2-gram: Spark must EXCLUDE it (matching
+    the oracle's empty range(len-1)) rather than crash on the
+    descending sequence(0,-1) slice (round-11 advice fix)."""
+    from etl_tool_rep_spark.queries import tier45
+
+    rows = [(1, "solo", "en", "s", 4),
+            (2, "a b a b", "en", "s", 7)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    sdf.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           tier45.gopher_repetition(spark, str(tmp_path)).collect()}
+    assert set(out) == {2}                    # 1-word doc excluded
+    assert out[2]["top2_gram"] == "a b" and out[2]["top2_cnt"] == 2
+
+
 def test_decontaminate_ground_truth(spark, sf_dir):
     """Recompute contamination for a handful of docs directly."""
     from etl_tool_rep_spark.queries.tier45 import _DC_K, _DC_MOD

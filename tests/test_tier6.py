@@ -154,5 +154,6 @@ def test_semantic_dedup_hot_cluster_tiling(spark, monkeypatch):
 
     assert uncapped == expected
     assert capped == expected
-    # sanity: the fixture actually exercises dup and non-dup paths
-    assert any(expected.values()) or True
+    # sanity: the fixture actually exercises dup AND non-dup paths
+    assert any(expected.values())
+    assert not all(expected.values())
