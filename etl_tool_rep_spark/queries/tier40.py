@@ -522,14 +522,44 @@ def streaming_lakehouse_ingest(spark: SparkSession,
     DISTRIBUTED snapshot read over the table's parquet files — never
     collected to the driver (round-9: table-root cleanup is deferred
     to an atexit finalizer, `tier16._deferred_rmtree`)."""
-    from ..streaming.stream import read_event_stream
     from .tier16 import _deferred_rmtree, _staged_events_dir
 
     staged = _staged_events_dir(spark, sf_dir)
-    stream = read_event_stream(spark, staged, fmt="parquet",
-                               max_files_per_trigger=8)
     root = tempfile.mkdtemp(prefix="etl_stream_lake_")
-    holder: dict = {"table": None}
+    _deferred_rmtree(root)
+    table = ingest_events_once(spark, staged, root)
+    return table.snapshot().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"))
+
+
+class InjectedCrash(RuntimeError):
+    """Deliberate mid-stream failure for the recovery test."""
+
+
+def ingest_events_once(spark: SparkSession, staged: str, root: str,
+                       crash_after_batch: int | None = None,
+                       timeout: int = 300,
+                       files_per_trigger: int = 8) -> LakeTable:
+    """One availableNow pass of the ingest loop against a PERSISTENT
+    root (table at <root>/t, checkpoint at <root>/_ckpt). Reentrant:
+    a second call with the same root resumes from the real streaming
+    checkpoint, re-delivers any batch whose foreachBatch side effect
+    ran but whose checkpoint commit didn't, and the lakehouse
+    batch_id turns that replay into a manifest-level no-op.
+
+    ``crash_after_batch=k`` raises InjectedCrash AFTER the LakeTable
+    merge of stream batch k has been applied but BEFORE foreachBatch
+    returns — a driver crash in the worst window (side effect
+    landed, checkpoint commit lost). tests/test_streaming_recovery.py
+    uses this to prove recovery against the REAL checkpoint dir, not
+    a simulated batch-id replay."""
+    from ..streaming.stream import read_event_stream
+
+    stream = read_event_stream(spark, staged, fmt="parquet",
+                               max_files_per_trigger=files_per_trigger)
+    path = os.path.join(root, "t")
 
     def _argmax(df: DataFrame) -> DataFrame:
         return (df.groupBy("user_id")
@@ -540,32 +570,38 @@ def streaming_lakehouse_ingest(spark: SparkSession,
                         F.col("_s.ts").alias("ts")))
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
         b = batch_df.select("user_id", "event_id", "ts")
-        t = holder["table"]
-        if t is None:
-            holder["table"] = LakeTable.create(
-                batch_df.sparkSession, os.path.join(root, "t"),
-                _argmax(b), batch_id=f"stream-{batch_id}",
-                cluster_by="user_id")
-            return
-        touched = (t.snapshot()
-                   .join(b.select("user_id").distinct(),
-                         "user_id", "semi"))
-        upd = _argmax(b.unionByName(touched))
-        t.merge(upd, "user_id", batch_id=f"stream-{batch_id}")
+        t = LakeTable(ss, path)
+        if not t.exists():
+            LakeTable.create(ss, path, _argmax(b),
+                             batch_id=f"stream-{batch_id}",
+                             cluster_by="user_id")
+        else:
+            touched = (t.snapshot()
+                       .join(b.select("user_id").distinct(),
+                             "user_id", "semi"))
+            upd = _argmax(b.unionByName(touched))
+            t.merge(upd, "user_id", batch_id=f"stream-{batch_id}")
+        if (crash_after_batch is not None
+                and batch_id >= crash_after_batch):
+            raise InjectedCrash(
+                f"injected crash after batch {batch_id}")
 
-    _deferred_rmtree(root)
     q = (stream.writeStream
          .foreachBatch(merge)
          .option("checkpointLocation", os.path.join(root, "_ckpt"))
          .trigger(availableNow=True)
          .start())
     try:
-        q.awaitTermination(300)
+        q.awaitTermination(timeout)
     finally:
         if q.isActive:
             q.stop()
-    return holder["table"].snapshot().select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.unix_micros("ts").alias("last_ts_us"))
+    # awaitTermination(timeout) does NOT re-raise a failed query's
+    # exception (only the no-timeout form does); surface it so a
+    # mid-stream crash reaches the caller instead of silently
+    # returning a half-ingested table
+    if q.exception() is not None:
+        raise q.exception()
+    return LakeTable(spark, path)
