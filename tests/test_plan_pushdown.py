@@ -118,7 +118,7 @@ _REPLANNED = [
 def test_no_unpartitioned_window_over_fact_frame(spark, sf_dir, name):
     from tools.explain_audit import audit_window_partitions
     df = QUERIES[name](spark, sf_dir)
-    assert audit_window_partitions(name, df) == []
+    assert audit_window_partitions(name, df)[0] == []
 
 
 def test_window_rule_fires_on_global_sort(spark, sf_dir):
@@ -131,7 +131,7 @@ def test_window_rule_fires_on_global_sort(spark, sf_dir):
     df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
           .withColumn("rk", F.row_number().over(
               Window.orderBy("o_orderkey"))))
-    assert audit_window_partitions("deliberately_broken", df), \
+    assert audit_window_partitions("deliberately_broken", df)[0], \
         "audit rule failed to flag an unpartitioned fact-frame window"
 
 
@@ -146,7 +146,9 @@ def test_window_rule_permits_post_aggregation_frame(spark, sf_dir):
           .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
           .withColumn("rk", F.row_number().over(
               Window.orderBy(F.desc("n")))))
-    assert audit_window_partitions("post_agg_ok", df) == []
+    flags, notes = audit_window_partitions("post_agg_ok", df)
+    assert flags == []
+    assert notes and "proven" in notes[0]   # justification emitted
 
 
 def test_window_rule_fires_on_per_key_aggregate(spark, sf_dir):
@@ -162,7 +164,7 @@ def test_window_rule_fires_on_per_key_aggregate(spark, sf_dir):
           .groupBy("o_custkey").agg(F.count("*").alias("n"))
           .withColumn("rk", F.row_number().over(
               Window.orderBy(F.desc("n")))))
-    assert audit_window_partitions("per_key_agg_broken", df), \
+    assert audit_window_partitions("per_key_agg_broken", df)[0], \
         "audit rule trusted a per-key (data-sized) aggregate frame"
 
 

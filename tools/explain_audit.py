@@ -467,15 +467,22 @@ def audit_nonequi_joins(name: str, df) -> list[str]:
     return bad
 
 
-def audit_window_partitions(name: str, df) -> list[str]:
+def audit_window_partitions(name: str, df) -> tuple[list[str],
+                                                    list[str]]:
     """Round-7 verdict item #3: flag any Window node whose partition
     spec is EMPTY (global sort — 'Moving all data to a single
     partition') unless the frame it consumes is provably small
     (post-aggregation / limited / literal) or the query is
-    allowlisted with a stated bound."""
+    allowlisted with a stated bound.
+
+    Returns (flags, notes): a PROVEN-bounded global window emits a
+    note instead of a flag — the justification line that tells a
+    reader why the runtime's 'WindowExec: No Partition Defined'
+    warning for this key is benign (round-11 verdict hygiene ask),
+    so nobody re-investigates it from the sweep/bench log tails."""
     if name in _GLOBAL_WINDOW_OK:
-        return []
-    bad = []
+        return [], []
+    bad, notes = [], []
     stack = [df._jdf.queryExecution().optimizedPlan()]
     while stack:
         node = stack.pop()
@@ -485,11 +492,14 @@ def audit_window_partitions(name: str, df) -> list[str]:
             continue
         if not node.partitionSpec().isEmpty():
             continue
-        if _is_small_frame(node.child()):
+        b = _row_bound(node.child())
+        if b is not None and b <= _SMALL_BOUND:
+            notes.append(f"global window OK: input proven <= {b} "
+                         "rows (WindowExec warning benign)")
             continue
         bad.append("unpartitioned Window over a non-aggregate frame "
                    "(single-task global sort at scale)")
-    return bad
+    return bad, notes
 
 
 def audit_driver_materialization(name: str, df) -> list[str]:
@@ -576,7 +586,7 @@ def main() -> None:
         if ne_bad:
             failures += 1
             flags.extend(ne_bad)
-        win_bad = audit_window_partitions(name, df)
+        win_bad, win_notes = audit_window_partitions(name, df)
         if win_bad:
             failures += 1
             flags.extend(win_bad)
@@ -586,6 +596,8 @@ def main() -> None:
             flags.extend(mat_bad)
         status = " | ".join(flags) if flags else "clean"
         print(f"=== {name}: {status}")
+        for note in win_notes:
+            print(f"    {note}")
         if len(sys.argv) > 1:  # detail only when explicitly named
             print(plan)
     if failures:
