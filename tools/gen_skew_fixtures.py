@@ -14,6 +14,11 @@ exercise:
   kept verbatim as centroids/codebook): one probe cell holding half
   the index, the worst candidate fan-in an IVF probe can meet.
 
+Row groups are kept small (6000 docs / 2000 vectors) to match the
+uniform fixtures' split granularity: a DuckDB-default 122880-row
+group makes ONE scan task read everything and fakes a dominant
+task that is file layout, not key skew (measured round 11).
+
 Both are derived from an existing fixture dir so sizes match the
 uniform rehearsal decades; the oracle SQL runs unchanged on them
 (the skew is in the DATA, not the contract).
@@ -49,7 +54,7 @@ def gen_hotgram(src: str, out: str) -> None:
                  CASE WHEN doc_id % 2 = 0 THEN n_chars + 26
                       ELSE n_chars END AS n_chars
           FROM read_parquet('{src}/documents.parquet')
-        ) TO '{dst}' (FORMAT PARQUET)
+        ) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 6000)
     """)
     n, h = duckdb.sql(
         f"SELECT COUNT(*), SUM(CASE WHEN text LIKE '{_SENTINEL}%' "
@@ -80,7 +85,7 @@ def gen_hotcell(src: str, out: str) -> None:
                       ELSE e.embedding END AS embedding,
                  e.label
           FROM read_parquet('{src}/embeddings.parquet') e, e0
-        ) TO '{dst}' (FORMAT PARQUET)
+        ) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 2000)
     """)
     n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}')"
                    ).fetchone()[0]
