@@ -594,7 +594,7 @@ def ingest_events_once(spark: SparkSession, staged: str, root: str,
          .trigger(availableNow=True)
          .start())
     try:
-        q.awaitTermination(timeout)
+        drained = q.awaitTermination(timeout)
     finally:
         if q.isActive:
             q.stop()
@@ -604,4 +604,9 @@ def ingest_events_once(spark: SparkSession, staged: str, root: str,
     # returning a half-ingested table
     if q.exception() is not None:
         raise q.exception()
+    # same silent-partial hazard on the timeout path: a still-running
+    # query was stopped above with no exception recorded
+    if not drained:
+        raise TimeoutError(
+            f"streaming ingest did not drain within {timeout}s")
     return LakeTable(spark, path)
