@@ -106,17 +106,26 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate-verify stage one broadcast-sized map per pair.
     """
     docs = load(spark, sf_dir, "documents")
+    # hash-distribute the raw docs before the CPU-heavy shingle
+    # explode: the corpus can arrive in few/large files (the fixture
+    # scans as ONE partition), and shuffling raw text is cheap next
+    # to the 3x-exploded shingle shuffles downstream
     words = docs.select(
         "doc_id",
         F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
-         .alias("ws"))
+         .alias("ws")).repartition("doc_id")
+    # materialized once (the oracle's `sh AS MATERIALIZED` twin):
+    # four branches consume it (sz/freq/pref/sets), and leaving the
+    # reuse to AQE's stage cache is scheduling-order-dependent —
+    # concurrent sibling stages each recompute the explode+distinct
     sh = words.select(
         "doc_id",
         F.explode(F.expr(
             "CASE WHEN size(ws) >= 3 THEN "
             " transform(sequence(1, size(ws) - 2), "
             "  i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) "
-            "ELSE array() END")).alias("t")).distinct()
+            "ELSE array() END")).alias("t")).distinct() \
+        .localCheckpoint(eager=False)
     sz = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"))
     freq = sh.groupBy("t").agg(

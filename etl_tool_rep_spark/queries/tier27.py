@@ -554,9 +554,13 @@ def blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .tier26 import prefix_filter_jaccard
 
+    # materialized once (the oracle's `truth AS MATERIALIZED` twin):
+    # n_true and n_hit both consume it, and each reference would
+    # otherwise re-run the whole prefix-filter pipeline
     truth = (prefix_filter_jaccard(spark, sf_dir)
              .select(F.col("a_id").alias("a"),
-                     F.col("b_id").alias("b")))
+                     F.col("b_id").alias("b"))
+             .localCheckpoint(eager=False))
     docs = load(spark, sf_dir, "documents")
     d = docs.select("doc_id", "lang", "n_chars")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
