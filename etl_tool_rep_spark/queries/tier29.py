@@ -30,25 +30,43 @@ _KCORE_ROUNDS = 6
 
 
 def _kcore_oracle() -> str:
-    """Fixed-depth peel in plain SQL: alive_{r} = nodes whose degree
-    within the alive_{r-1} subgraph is >= k. Standard SQL forbids
+    """Fixed-depth peel in plain SQL, unrolled as per-round DELTAS:
+    p_r is the set peeled in round r (= alive_{r-1} \\ alive_r) and
+    d_r carries the surviving nodes' degrees, obtained by
+    DECREMENTING d_{r-1} with the edge count into p_r — identical
+    semantics to 'alive_r = nodes whose degree within alive_{r-1}
+    is >= k' (a node with zero alive-neighbors keeps a d_r row at
+    deg 0 and peels next round, exactly as it vanishes from the
+    HAVING group-by in the alive-set form). Standard SQL forbids
     aggregates in a recursive term, so the bounded rounds are
-    unrolled literally — same semantics the Spark loop executes."""
+    unrolled literally — same semantics the Spark loop executes.
+
+    The earlier alive-set form re-joined the FULL edge table against
+    two full alive sets per round; at sf10 those six edge-wide
+    GROUP BYs overflowed a 40 GB DuckDB temp fence (round-11
+    ORACLE note). The delta form touches the full edge table once
+    (d0); each round's join probes only the freshly-peeled rows, so
+    per-round temp is bounded by the delta's neighborhood, not the
+    graph."""
     rounds = []
-    prev = "nodes"
     for r in range(1, _KCORE_ROUNDS + 1):
         rounds.append(f"""
-    alive{r} AS MATERIALIZED (
-      SELECT e.a AS node
-      FROM edges e
-      JOIN {prev} pa ON pa.node = e.a
-      JOIN {prev} pb ON pb.node = e.b
-      GROUP BY e.a
-      HAVING COUNT(*) >= {_KCORE_K})""")
-        prev = f"alive{r}"
-    alive_cases = "\n".join(
-        f"           WHEN node NOT IN (SELECT node FROM alive{r})"
-        f" THEN {r}" for r in range(1, _KCORE_ROUNDS + 1))
+    p{r} AS MATERIALIZED (
+      SELECT node FROM d{r - 1} WHERE deg < {_KCORE_K})""")
+        if r < _KCORE_ROUNDS:
+            rounds.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT d{r - 1}.node,
+             d{r - 1}.deg - COALESCE(rm.c, 0) AS deg
+      FROM d{r - 1}
+      LEFT JOIN (SELECT e.a AS node,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM edges e JOIN p{r} ON p{r}.node = e.b
+                 GROUP BY 1) rm USING (node)
+      WHERE d{r - 1}.node NOT IN (SELECT node FROM p{r}))""")
+    peeled_union = "\n      UNION ALL ".join(
+        f"SELECT node, {r} AS r FROM p{r}"
+        for r in range(1, _KCORE_ROUNDS + 1))
     return f"""
     WITH edges AS MATERIALIZED (
       SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
@@ -56,17 +74,19 @@ def _kcore_oracle() -> str:
         ON l1.l_orderkey = l2.l_orderkey
        AND l1.l_suppkey <> l2.l_suppkey),
     nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges),
-    {','.join(rounds)}
+    d0 AS MATERIALIZED (
+      SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY 1),
+    {','.join(rounds)},
+    peeled AS MATERIALIZED (
+      {peeled_union})
     SELECT n.node AS suppkey,
-           CAST(d.deg AS BIGINT) AS degree0,
-           CAST(CASE
-{alive_cases.replace('WHEN node', 'WHEN n.node')}
-           ELSE NULL END AS BIGINT) AS peel_round,
-           n.node IN (SELECT node FROM alive{_KCORE_ROUNDS})
-               AS in_core
+           d0.deg AS degree0,
+           CAST(pe.r AS BIGINT) AS peel_round,
+           pe.node IS NULL AS in_core
     FROM nodes n
-    JOIN (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
-          FROM edges GROUP BY 1) d ON d.node = n.node
+    JOIN d0 ON d0.node = n.node
+    LEFT JOIN peeled pe ON pe.node = n.node
     """
 
 
