@@ -72,8 +72,11 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.01")
-    names = sys.argv[1:] or sorted(
-        k for k in QUERIES if re.search(_PATTERN, k))
+    if sys.argv[1:] == ["--all"]:       # close_round.py: whole registry
+        names = sorted(QUERIES)
+    else:
+        names = sys.argv[1:] or sorted(
+            k for k in QUERIES if re.search(_PATTERN, k))
     print(f"== local[4] baseline pass ({len(names)} keys, {sf_dir})")
     base = run_pass("local[4]", sf_dir, names)
     print("== local-cluster[2,2,8192] pass (2 executor JVMs)")
