@@ -48,6 +48,15 @@ def main() -> None:
                          "adjacent pair — e.g. "
                          "/root/testdata/sf0.1:.scratch/sf1:.scratch/sf10")
     ap.add_argument("--names", nargs="*", default=None)
+    ap.add_argument("--ratios", default=None,
+                    help="comma-separated data-growth factor for each "
+                         "adjacent --dirs pair (default: 10 per pair); "
+                         "e.g. --ratios 10,3 for sf1:sf10:sf30. "
+                         "Exponents are log(t_b/t_a)/log(ratio).")
+    ap.add_argument("--iters", type=int, default=2,
+                    help="runs per (query, scale); 1 for wall-hour "
+                         "keys where a warm-up pass costs more than "
+                         "the noise it removes")
     args = ap.parse_args()
 
     import bench
@@ -56,14 +65,22 @@ def main() -> None:
     dirs = (args.dirs.split(":") if args.dirs
             else ["/root/testdata/sf0.1", args.sf1])
     labels = [os.path.basename(os.path.normpath(d)) for d in dirs]
+    ratios = ([float(r) for r in args.ratios.split(",")]
+              if args.ratios else [10.0] * (len(dirs) - 1))
+    assert len(ratios) == len(dirs) - 1, "--ratios: one per dir pair"
+
+    def exp(ta: float, tb: float, ratio: float) -> float:
+        return round(math.log(max(tb, 1e-3) / max(ta, 1e-3))
+                     / math.log(ratio), 2)
 
     spark = get_spark("scale_rehearsal")
     out = {}
     for name in names:
         fn = QUERIES[name]
-        times = [time_query(spark, fn, d) for d in dirs]
-        exps = [round(math.log10(max(tb, 1e-3) / max(ta, 1e-3)), 2)
-                for ta, tb in zip(times, times[1:])]
+        times = [time_query(spark, fn, d, iters=args.iters)
+                 for d in dirs]
+        exps = [exp(ta, tb, r)
+                for (ta, tb), r in zip(zip(times, times[1:]), ratios)]
         rec = {labels[i] + "_s": times[i] for i in range(len(dirs))}
         rec["exponents"] = exps
         out[name] = rec
@@ -73,7 +90,8 @@ def main() -> None:
               for i in range(len(dirs))}
     tvals = list(totals.values())
     totals["overall_exponents"] = [
-        round(math.log10(tb / ta), 2) for ta, tb in zip(tvals, tvals[1:])]
+        exp(ta, tb, r) for (ta, tb), r in zip(zip(tvals, tvals[1:]),
+                                              ratios)]
     print(json.dumps(totals))
 
 
