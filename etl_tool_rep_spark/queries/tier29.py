@@ -68,9 +68,16 @@ def _kcore_oracle() -> str:
         f"SELECT node, {r} AS r FROM p{r}"
         for r in range(1, _KCORE_ROUNDS + 1))
     return f"""
-    WITH edges AS MATERIALIZED (
+    WITH li AS MATERIALIZED (
+      -- pre-distinct (order, supplier) BEFORE the self-join, same as
+      -- the Spark side: m duplicate supplier lines per order would
+      -- fan the join m^2-fold only for the outer DISTINCT to collapse
+      -- it (at sf10 the raw-lineitem form was the temp hog that blew
+      -- the 40 GB fence before the peel even started)
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges AS MATERIALIZED (
       SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
-      FROM lineitem l1 JOIN lineitem l2
+      FROM li l1 JOIN li l2
         ON l1.l_orderkey = l2.l_orderkey
        AND l1.l_suppkey <> l2.l_suppkey),
     nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges),
