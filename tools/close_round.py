@@ -120,7 +120,11 @@ def run_step(name: str, cmd: list[str], log_path: str | None,
     else:
         p = subprocess.run(cmd, cwd=REPO, capture_output=True,
                            text=True, env=env, timeout=timeout_s)
-        rc, tail = p.returncode, (p.stdout + p.stderr)[-2000:]
+        # keep stdout's tail SEPARATE from stderr's: Spark WARN spam
+        # on stderr must not push the one-line JSON contract (or the
+        # pytest summary) out of the captured window
+        rc = p.returncode
+        tail = p.stdout[-2000:] + "\n--- stderr ---\n" + p.stderr[-500:]
     dt = round(time.perf_counter() - t0, 1)
     print(f"   rc={rc} in {dt}s", flush=True)
     return {"rc": rc, "sec": dt, "log": log_path, "tail": tail}
@@ -163,22 +167,42 @@ def main() -> int:
     steps: dict[str, dict] = {}
     summary["steps"] = steps
 
+    # a re-run with --skip carries the skipped steps' results forward
+    # from the existing summary (marked carried: true) so one
+    # artifact always holds the whole close — re-running ONE flaky
+    # step must not discard seven green ones
+    prior_path = os.path.join(ART, f"close_r{n}.json")
+    prior_steps: dict = {}
+    if skip and os.path.exists(prior_path):
+        with open(prior_path) as fh:
+            prior_steps = json.load(fh).get("steps", {})
+
+    def carry(step_key: str) -> None:
+        if step_key in prior_steps:
+            steps[step_key] = {**prior_steps[step_key], "carried": True}
+
     if "sf001" not in skip:
         steps["sweep_sf001"] = sweep_verdict(run_step(
             "sweep sf0.01",
             [py, "tools/check_oracle.py", "--sf", "/root/testdata/sf0.01"],
             f"artifacts/sweep_sf001_r{n}.log"), n_reg)
+    else:
+        carry("sweep_sf001")
     if "sf01" not in skip:
         steps["sweep_sf01"] = sweep_verdict(run_step(
             "sweep sf0.1",
             [py, "tools/check_oracle.py", "--sf", "/root/testdata/sf0.1"],
             f"artifacts/sweep_sf01_r{n}.log"), n_reg)
+    else:
+        carry("sweep_sf01")
     if "sf1" not in skip:
         steps["sweep_sf1"] = sweep_verdict(run_step(
             "sweep sf1 (fenced)",
             [py, "tools/check_oracle.py", "--sf", ".scratch/sf1"],
             f"artifacts/sweep_sf1_r{n}.log", SF1_ENV), n_reg)
 
+    else:
+        carry("sweep_sf1")
     if "audit" not in skip:
         st = run_step("plan audit", [py, "tools/explain_audit.py"],
                       f"artifacts/audit_r{n}.log")
@@ -187,6 +211,8 @@ def main() -> int:
         st["ok"] = st["rc"] == 0 and st["clean"] == n_reg
         steps["audit"] = st
 
+    else:
+        carry("audit")
     if "bench" not in skip:
         summary["load1_before_bench"] = wait_quiet(
             args.max_load1, args.load_wait, args.force)
@@ -199,11 +225,15 @@ def main() -> int:
         st["ok"] = st["rc"] == 0 and st["headline"] is not None
         steps["bench"] = st
 
+    else:
+        carry("bench")
     if "budget" not in skip:
         st = run_step("bench budget", [py, "tools/bench_budget.py"], None)
         st["ok"] = st["rc"] == 0
         steps["budget"] = st
 
+    else:
+        carry("budget")
     if "pytest" not in skip:
         st = run_step("pytest", [py, "-m", "pytest", "tests/", "-q"],
                       None, timeout_s=3600)
@@ -212,6 +242,8 @@ def main() -> int:
         st["ok"] = st["rc"] == 0
         steps["pytest"] = st
 
+    else:
+        carry("pytest")
     if "smoke" not in skip:
         st = run_step("local-cluster smoke (full registry)",
                       [py, "tools/smoke_local_cluster.py", "--all"],
@@ -221,6 +253,9 @@ def main() -> int:
         st["identical"] = m.group(0) if m else None
         st["ok"] = st["rc"] == 0 and m and m.group(1) == m.group(2)
         steps["smoke"] = st
+
+    if "smoke" in skip:
+        carry("smoke")
 
     summary["all_ok"] = (summary["sync_invariants"]["in_sync"]
                          and all(s.get("ok") for s in steps.values()))
