@@ -229,10 +229,29 @@ def _dup_positions(spark: SparkSession,
          .withColumn("_h", F.xxhash64("gram")))
     coll = (g.groupBy("_h").agg(F.count(F.lit(1)).alias("hcnt"))
             .filter(F.col("hcnt") >= 2).select("_h"))
-    gv = g.join(coll.hint("shuffle_hash"), "_h", "left_semi")
-    wg = Window.partitionBy("_h", "gram")
-    dup_rows = (gv.withColumn("gcnt", F.count(F.lit(1)).over(wg))
-                .filter(F.col("gcnt") >= 2)
+    # Exact verify inside collided buckets WITHOUT a sort: the old
+    # Window.partitionBy(_h, gram) count sorted every collided row
+    # per core and spilled 78 GB at sf30 (SCALE.md r12) even though
+    # the shuffle itself stayed plan-linear.  A hash groupBy is
+    # map-side combinable (partials collapse duplicated grams before
+    # the wire, so the agg shuffle carries ~distinct collided grams,
+    # not collided positions) and never sorts; the semi-join back
+    # re-attaches (doc_id, pos) and MUST stay shuffle-hash — without
+    # the hint Spark plans a sort-merge join, re-introducing the
+    # exact per-core sort this removes.  gv feeds both the agg and
+    # the probe side; column pruning makes the two subtrees differ,
+    # so static ReuseExchange cannot dedupe them and the CPU-heavy
+    # explode would run once per consumer under an AQE scheduling
+    # race (the r12 bimodality signature, BENCH_r12_note.md) — pin
+    # it once, mirroring the oracle's materialized `g` CTE, exactly
+    # the tier26/tier27 fix pattern.
+    gv = (g.join(coll.hint("shuffle_hash"), "_h", "left_semi")
+          .localCheckpoint(eager=False))
+    gc = (gv.groupBy("_h", "gram")
+          .agg(F.count(F.lit(1)).alias("gcnt"))
+          .filter(F.col("gcnt") >= 2).select("_h", "gram"))
+    dup_rows = (gv.join(gc.hint("shuffle_hash"), ["_h", "gram"],
+                        "left_semi")
                 .select("doc_id", "pos", "gram"))
     return d, dup_rows
 

@@ -112,6 +112,17 @@ def test_tumbling_agg_exactly_once_across_restart(spark, tranches,
     rw = sorted(map(tuple, want.select(cols).collect()))
     assert rg == rw
     assert len(rg) > 0
+    # data precondition, asserted explicitly so a smaller/denser
+    # fixture fails HERE (not as a mystery flake below): run 1 can
+    # only finalize a window in append mode if tranche A's event-time
+    # span exceeds window + watermark (1h + 10min)
+    a_span_s = (spark.read.parquet(a)
+                .agg((F.unix_timestamp(F.max("ts"))
+                      - F.unix_timestamp(F.min("ts"))).alias("s"))
+                .collect()[0][0])
+    assert a_span_s > 70 * 60, (
+        f"fixture precondition: tranche A spans {a_span_s}s <= 1h10m, "
+        "so run 1 cannot finalize any window in append mode")
     # progress actually spanned the restart: run 1 emitted some
     # finalized windows, run 2 only the remainder (no re-emission)
     assert 0 < n_after_first < len(rg)

@@ -108,26 +108,45 @@ def run_step(name: str, cmd: list[str], log_path: str | None,
     env = {**os.environ, **(extra_env or {})}
     t0 = time.perf_counter()
     print(f"== {name}: {' '.join(cmd)}", flush=True)
+    timed_out = False
+    # a hung step must not abort the whole close before the summary
+    # lands (the docstring's "partial close is diagnosable" promise):
+    # catch TimeoutExpired and record it as a step failure instead
     if log_path:
         # "w": each step owns its log; a rerun must not double-count
         # pass/clean lines from a previous attempt
         with open(os.path.join(REPO, log_path), "w") as fh:
-            rc = subprocess.run(cmd, cwd=REPO, stdout=fh,
-                                stderr=subprocess.STDOUT, env=env,
-                                timeout=timeout_s).returncode
+            try:
+                rc = subprocess.run(cmd, cwd=REPO, stdout=fh,
+                                    stderr=subprocess.STDOUT, env=env,
+                                    timeout=timeout_s).returncode
+            except subprocess.TimeoutExpired:
+                rc, timed_out = -1, True
         with open(os.path.join(REPO, log_path)) as fh:
             tail = fh.read()[-2000:]
     else:
-        p = subprocess.run(cmd, cwd=REPO, capture_output=True,
-                           text=True, env=env, timeout=timeout_s)
-        # keep stdout's tail SEPARATE from stderr's: Spark WARN spam
-        # on stderr must not push the one-line JSON contract (or the
-        # pytest summary) out of the captured window
-        rc = p.returncode
-        tail = p.stdout[-2000:] + "\n--- stderr ---\n" + p.stderr[-500:]
+        try:
+            p = subprocess.run(cmd, cwd=REPO, capture_output=True,
+                               text=True, env=env, timeout=timeout_s)
+            # keep stdout's tail SEPARATE from stderr's: Spark WARN
+            # spam on stderr must not push the one-line JSON contract
+            # (or the pytest summary) out of the captured window
+            rc = p.returncode
+            tail = (p.stdout[-2000:] + "\n--- stderr ---\n"
+                    + p.stderr[-500:])
+        except subprocess.TimeoutExpired as e:
+            rc, timed_out = -1, True
+            out = e.stdout or b""
+            tail = (out if isinstance(out, str)
+                    else out.decode(errors="replace"))[-2000:]
     dt = round(time.perf_counter() - t0, 1)
-    print(f"   rc={rc} in {dt}s", flush=True)
-    return {"rc": rc, "sec": dt, "log": log_path, "tail": tail}
+    print(f"   rc={rc} in {dt}s"
+          + (f" (TIMED OUT after {timeout_s}s)" if timed_out else ""),
+          flush=True)
+    step = {"rc": rc, "sec": dt, "log": log_path, "tail": tail}
+    if timed_out:
+        step["timed_out"] = timeout_s
+    return step
 
 
 def sweep_verdict(step: dict, n_reg: int) -> dict:
@@ -180,6 +199,13 @@ def main() -> int:
     def carry(step_key: str) -> None:
         if step_key in prior_steps:
             steps[step_key] = {**prior_steps[step_key], "carried": True}
+        else:
+            # a --skip with no prior result is a MISSING step, not a
+            # free pass: record a failed placeholder so all_ok (which
+            # is computed over the full expected step set below) can
+            # never report a close whose required step never ran
+            steps[step_key] = {"ok": False, "missing": True,
+                               "note": "skipped with no prior result"}
 
     if "sf001" not in skip:
         steps["sweep_sf001"] = sweep_verdict(run_step(
@@ -257,8 +283,14 @@ def main() -> int:
     if "smoke" in skip:
         carry("smoke")
 
+    # all_ok ranges over the FULL expected step set, not just the
+    # steps that happen to be present — so eight green steps plus one
+    # silently-absent one can never sum to all_ok=true
+    expected = ("sweep_sf001", "sweep_sf01", "sweep_sf1", "audit",
+                "bench", "budget", "pytest", "smoke")
     summary["all_ok"] = (summary["sync_invariants"]["in_sync"]
-                         and all(s.get("ok") for s in steps.values()))
+                         and all(steps.get(k, {}).get("ok")
+                                 for k in expected))
     summary["finished_utc"] = time.strftime(
         "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     out_path = os.path.join(ART, f"close_r{n}.json")

@@ -539,6 +539,63 @@ def scan_driver_materialization(df) -> list[str]:
     return bad
 
 
+# --- static exchange-reuse audit (round-13 verdict ask #4) ----------------
+#
+# The AQE-reuse bimodality has bitten twice (r11 PPJoin family; the
+# generalized lesson in BENCH_r12_note.md): when a physical plan
+# carries >= 2 IDENTICAL exchange subtrees and no static
+# ReusedExchange, de-duplication is left to AQE's runtime stage
+# cache, which is scheduling-order dependent — concurrent
+# materializations each compute their own copy (slow mode), serial
+# ones reuse (fast mode). This audit finds that static signature:
+# group every Exchange in the pre-execution plan by its canonicalized
+# subtree; any group of >= 2 with no ReusedExchange covering it is a
+# runtime-race candidate and must either be pinned (localCheckpoint
+# twin of the oracle's AS MATERIALIZED) or carry an explicit
+# bounded-recompute justification below.
+
+# name -> why the duplicate exchange is an ACCEPTABLE bounded
+# recompute (printed with the audit line, never silently passed)
+_DUP_EXCHANGE_OK: dict[str, str] = {}
+
+
+def _iter_plan(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_plan(ch.apply(i))
+
+
+def audit_static_reuse(name: str, df) -> tuple[list[str], list[str]]:
+    """Returns (flags, notes). Flags any >= 2 canonicalized-identical
+    Exchange subtrees not covered by a static ReusedExchange."""
+    jqe = df._jdf.queryExecution()
+    plan = jqe.executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.inputPlan()
+    dup_groups: dict[str, int] = {}
+    reused: set[str] = set()
+    for node in _iter_plan(plan):
+        cls = node.getClass().getSimpleName()
+        if cls in ("ShuffleExchangeExec", "BroadcastExchangeExec"):
+            key = node.canonicalized().toString()
+            dup_groups[key] = dup_groups.get(key, 0) + 1
+        elif cls == "ReusedExchangeExec":
+            reused.add(node.child().canonicalized().toString())
+    flags, notes = [], []
+    for key, cnt in dup_groups.items():
+        if cnt >= 2 and key not in reused:
+            head = key.strip().splitlines()[0][:90]
+            msg = (f"{cnt}x identical exchange with no static reuse "
+                   f"(AQE-race candidate): {head}")
+            if name in _DUP_EXCHANGE_OK:
+                notes.append(f"dup exchange OK ({_DUP_EXCHANGE_OK[name]})"
+                             f": {head}")
+            else:
+                flags.append(msg)
+    return flags, notes
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
     flags = []
     # NLJ/cartesian hazards are judged on the LOGICAL plan with real
@@ -594,9 +651,13 @@ def main() -> None:
         if mat_bad:
             failures += 1
             flags.extend(mat_bad)
+        reuse_bad, reuse_notes = audit_static_reuse(name, df)
+        if reuse_bad:
+            failures += 1
+            flags.extend(reuse_bad)
         status = " | ".join(flags) if flags else "clean"
         print(f"=== {name}: {status}")
-        for note in win_notes:
+        for note in win_notes + reuse_notes:
             print(f"    {note}")
         if len(sys.argv) > 1:  # detail only when explicitly named
             print(plan)

@@ -70,12 +70,33 @@ def main() -> None:
     mem = spark._jvm.java.lang.management.ManagementFactory \
         .getMemoryMXBean()
 
+    def quiesce(timeout_s: float = 60.0) -> None:
+        # progress events arrive on an async listener-bus thread (a
+        # py4j callback for Python listeners): reading/clearing peaks
+        # right after the job returns can miss late events or charge
+        # one key's final progress to the next key's record. Wait for
+        # the streams to deregister, drain the JVM listener bus, then
+        # give the py4j callback thread a beat.
+        deadline = time.time() + timeout_s
+        while spark.streams.active and time.time() < deadline:
+            time.sleep(0.5)
+        bus = spark.sparkContext._jsc.sc().listenerBus()
+        try:
+            bus.waitUntilEmpty(10_000)
+        except Exception:
+            try:
+                bus.waitUntilEmpty()
+            except Exception:
+                pass
+        time.sleep(1.0)
+
     from etl_tool_rep_spark.queries import QUERIES
     for key in args.keys:
         t0 = time.perf_counter()
         QUERIES[key](spark, args.sf).write.format("noop") \
             .mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 1)
+        quiesce()
         heap = mem.getHeapMemoryUsage()
         print(json.dumps({
             "key": key, "sf_dir": args.sf, "wall_s": wall,
