@@ -169,7 +169,8 @@ def grouped_prefix_sum(df: DataFrame, group_by: Sequence[str],
                        ascending: bool = True,
                        nulls_last: bool = False,
                        npart: int | None = None,
-                       inclusive: bool = True) -> DataFrame:
+                       inclusive: bool = True,
+                       pin: bool = False) -> DataFrame:
     """Running totals `fn(col) over (partition by group_by order by
     order_by rows unbounded preceding .. current|-1)` for each
     ``out_name -> in_col`` (or ``out_name -> (in_col,
@@ -190,6 +191,13 @@ def grouped_prefix_sum(df: DataFrame, group_by: Sequence[str],
             .rowsBetween(Window.unboundedPreceding, hi))
     for name, (col, fn) in specs.items():
         t = t.withColumn(f"_tp_l_{name}", fns[fn](col).over(wloc))
+    # ``t`` feeds two consumers (the offsets aggregate and the final
+    # join), so its subtree — including the caller's upstream census
+    # — is planned twice; ``pin=True`` truncates it once for callers
+    # whose upstream is expensive relative to t's (bucketed,
+    # census-sized) materialization (guide §2.4 / §3.3)
+    if pin:
+        t = t.localCheckpoint(eager=False)
     # offsets aggregate each EARLIER bucket's full-bucket total with
     # the same fn (sum of sums / max of maxes)
     offs = _offsets(t, gcols, {name: (fns[fn](col), fn)

@@ -69,19 +69,29 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     any doc count.
     """
     d = load(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all(
-            F.lower("text"), F.lit("[a-z]+"), F.lit(0))).alias("w"))
+    toks_arr = F.regexp_extract_all(
+        F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+    words = d.select("doc_id", F.explode(toks_arr).alias("w"))
     firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     news = (firsts.groupBy(F.col("first_doc").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("new_words")))
-    toks = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # per-doc token count WITHOUT a second tokenize+explode+shuffle:
+    # size() of the match array on the scan row equals the exploded
+    # group count (empty/NULL arrays drop out of both, matching the
+    # oracle's words CTE); the r13-open plan tokenized documents in
+    # FOUR subtrees (toks window branch + its offsets twin, firsts
+    # ditto) — guide §2.3/§2.4
+    toks = (d.select("doc_id", F.size(toks_arr).alias("n_tok"))
+            .filter(F.col("n_tok") > 0))
     nw = F.coalesce("new_words", F.lit(0))
+    # doc-count-sized 3-int rows; pin so the bucketed prefix sum's
+    # two consumers (window branch + offsets branch) share one
+    # computation instead of re-tokenizing per branch
     joined = (toks.join(news, "doc_id", "left")
               .select("doc_id",
                       F.col("n_tok").cast("bigint").alias("n_tok"),
-                      nw.cast("bigint").alias("new_words")))
+                      nw.cast("bigint").alias("new_words"))
+              .localCheckpoint(eager=False))
     t = grouped_prefix_sum(joined, [], [F.asc("doc_id")],
                            lead="doc_id",
                            sums={"_cv": "new_words", "_ct": "n_tok"})
@@ -248,6 +258,11 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup; no row ever leaves with more than (key_col, k, c).
     """
     li = load(spark, sf_dir, "lineitem")
+    # measured r13: a single-scan explode(array(struct...)) variant
+    # is SLOWER (1.13 -> 1.41 s median) — three column-pruned scans
+    # run in parallel and codegen straight into the partial agg,
+    # while the generator stage serializes 3x rows through one pass.
+    # Keeping the stacked union (still one pass per column).
     stacked = None
     for kc in _SKEW_KEYS:
         part = li.select(F.lit(kc).alias("key_col"),
@@ -336,8 +351,18 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side resampling.
     """
     e = load(spark, sf_dir, "events")
+    # r13: scale x to an exact integer (x * 1e6, exact because x is
+    # decimal(18,6)) BEFORE the 100x replicate fan-out, so the hot
+    # aggregate sums LONGs instead of decimal(28,6) — a >18-precision
+    # decimal sum is BigDecimal-backed per update (guide §2.3
+    # narrower types / §1.2 per-task work). The decimal value is
+    # reconstructed exactly after the agg (swl * 10^-6 as decimal —
+    # same rational, same correctly-rounded double), verified
+    # bit-identical on every (event_type, b) group at sf0.1 and by
+    # the oracle at sf0.001/0.01/0.1.
     reps = (e.select("event_type", "event_id",
-                     F.col("value").cast("decimal(18,6)").alias("x"))
+                     (F.col("value").cast("decimal(18,6)") * 1000000)
+                     .cast("long").alias("xl"))
             .withColumn("b", F.explode(F.sequence(
                 F.lit(0), F.lit(_N_BOOT - 1)))))
     # two-round LCG over the Mersenne prime: exact BIGINT arithmetic,
@@ -354,11 +379,14 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(6))
     means = (reps.withColumn("w", w)
              .groupBy("event_type", "b")
-             .agg(F.sum(F.col("w") * F.col("x")).alias("sw"),
+             .agg(F.sum(F.col("w").cast("long") * F.col("xl"))
+                  .alias("swl"),
                   F.sum("w").alias("n"))
              .filter(F.col("n") > 0)
              .select("event_type",
-                     (F.col("sw").cast("double") / F.col("n")).alias("m")))
+                     ((F.col("swl").cast("decimal(38,0)")
+                       * F.expr("CAST(0.000001 AS DECIMAL(7,6))"))
+                      .cast("double") / F.col("n")).alias("m")))
     return (means.groupBy("event_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_reps"),
                  F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),

@@ -78,7 +78,12 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs. No driver probes — a fixed {hops}-round loop whose empty
     late rounds cost one empty-exchange job each.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # pre-distinct (order, supplier) BEFORE the self-join: the same
+    # m^2 per-order fan-out guard kcore_decomposition gained in r12
+    # (SCALE.md sf10 OOM lesson); edge set identical, plan transient
+    # bounded by distinct pairs instead of raw line counts
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct())
     e = (li.alias("x").join(
             li.alias("y"),
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))

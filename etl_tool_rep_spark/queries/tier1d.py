@@ -92,7 +92,7 @@ def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "yyyy-MM").alias("ym"))
 
 
-def _exact_qcont(li, col: str, q: float, out: str):
+def _exact_qcont(li, col: str, q: float, out: str, ns=None):
     """Exact linear-interpolated quantile per l_returnflag WITHOUT
     buffering a group in memory: a (rf, value)-census collapses ties,
     the bucketed two-phase prefix sum ranks the support, and the two
@@ -102,24 +102,37 @@ def _exact_qcont(li, col: str, q: float, out: str):
     and DuckDB's `quantile_cont` produce. Returns |groups| rows."""
     per = li.groupBy("l_returnflag", col).agg(
         F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    # pin=True: the census+bucket-window subtree otherwise plans once
+    # per consumer — the r13-open percentile_window plan held 82
+    # Exchanges from exactly this (2 quantiles x lo/hi branches x
+    # offsets/join twins); with the one-pass agg below + pin it is a
+    # single census per quantile
     cum = grouped_prefix_sum(per, ["l_returnflag"], [F.asc(col)],
-                             lead=col, sums={"_cum": "_cnt"})
-    ns = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n"))
+                             lead=col, sums={"_cum": "_cnt"}, pin=True)
+    if ns is None:
+        ns = li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"))
     j = cum.join(F.broadcast(ns), "l_returnflag")
     pos = (F.col("_n") - 1).cast("double") * F.lit(q)
     ilo = F.floor(pos).cast("bigint")
     ihi = F.ceil(pos).cast("bigint")
     v = F.col(col).cast("double")
-    lo = (j.filter((F.col("_cum") - F.col("_cnt") <= ilo)
-                   & (ilo < F.col("_cum")))
-          .select("l_returnflag", v.alias("_vlo"),
-                  pos.alias("_pos"), ilo.alias("_ilo"),
-                  ihi.alias("_ihi")))
-    hi = (j.filter((F.col("_cum") - F.col("_cnt") <= ihi)
-                   & (ihi < F.col("_cum")))
-          .select("l_returnflag", v.alias("_vhi")))
-    res = lo.join(hi, "l_returnflag").select(
+    covers_lo = ((F.col("_cum") - F.col("_cnt") <= ilo)
+                 & (ilo < F.col("_cum")))
+    covers_hi = ((F.col("_cum") - F.col("_cnt") <= ihi)
+                 & (ihi < F.col("_cum")))
+    # one conditional-aggregation pass picks BOTH order statistics
+    # (at most one census row covers each index; pos/ilo/ihi are
+    # per-group constants, max() just carries them) — replacing the
+    # old two-filter-branches + join, which re-planned the whole
+    # census tree per branch. Identical interpolation arithmetic.
+    agg = (j.groupBy("l_returnflag")
+           .agg(F.max(F.when(covers_lo, v)).alias("_vlo"),
+                F.max(F.when(covers_hi, v)).alias("_vhi"),
+                F.max(pos).alias("_pos"),
+                F.max(ilo).alias("_ilo"),
+                F.max(ihi).alias("_ihi")))
+    res = agg.select(
         "l_returnflag",
         F.when(F.col("_ilo") == F.col("_ihi"), F.col("_vlo"))
         .otherwise(F.col("_vlo")
@@ -151,9 +164,14 @@ def percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     to every row. Same values as `percentile(...) OVER (PARTITION
     BY rf)` for continuous interpolation on the total group."""
     li = load(spark, sf_dir, "lineitem")
-    med = _exact_qcont(li, "l_quantity", 0.5, "_med")
-    p90 = _exact_qcont(li, "l_extendedprice", 0.9, "_p90")
-    stats = med.join(p90, "l_returnflag")
+    # group counts are column-independent — compute once, share
+    # across both quantiles (was two identical lineitem counts)
+    ns = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"))
+    med = _exact_qcont(li, "l_quantity", 0.5, "_med", ns=ns)
+    p90 = _exact_qcont(li, "l_extendedprice", 0.9, "_p90", ns=ns)
+    # 3-row frames: broadcast instead of the default sort-merge
+    stats = med.join(F.broadcast(p90), "l_returnflag")
     return (li.join(F.broadcast(stats), "l_returnflag")
             .select(
                 F.col("l_orderkey").alias("okey"),

@@ -245,7 +245,13 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round (reliable checkpoint on a real cluster). N arrives as
     a broadcast 1-row aggregate, never a driver action.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # pre-distinct (order, supplier) BEFORE the self-join — same
+    # m^2-fan-out guard kcore_decomposition gained in r12 (a supplier
+    # on m lines of one order otherwise inflates the join transient
+    # m^2-fold only for the post-join DISTINCT to collapse it; the
+    # sf10 OOM lesson in SCALE.md). Edge set unchanged.
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct())
     x, y = li.alias("x"), li.alias("y")
     edges = (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
                     & (F.col("x.l_suppkey") != F.col("y.l_suppkey")))
@@ -264,26 +270,36 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .localCheckpoint(eager=True))
     nodes = deg.select(F.col("a").alias("id")).localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    # r13 (guide §2.4): the vertex count rides the rank frame as a
+    # constant column instead of a per-round crossJoin(broadcast(nn))
+    # (12 broadcast jobs + 12 scalar re-aggregations saved), and the
+    # per-round `nodes LEFT JOIN s` is dropped outright: the
+    # co-supplier graph is symmetric, so every node has >= 1 in-edge
+    # and s already contains the full vertex set — the left join was
+    # a no-op re-attach (its coalesce(s, 0) could never fire). Per
+    # round: one join + one combinable sum, nothing else. Ranks are
+    # bit-identical (same quantized arithmetic, same row set).
     r = (nodes.crossJoin(F.broadcast(nn))
               .select("id",
                       (F.floor(F.lit(1.0) / F.col("_n") * F.lit(1e12)
-                               + F.lit(0.5)) / F.lit(1e12)).alias("r")))
+                               + F.lit(0.5)) / F.lit(1e12)).alias("r"),
+                      "_n"))
     for _ in range(_PR_ITERS):
         c = (r.join(edges_w, F.col("id") == F.col("_ea"))
               .select(F.col("_eb").alias("id"),
                       F.floor(F.col("r") / F.col("d") * F.lit(1e12)
-                              + F.lit(0.5)).cast("bigint").alias("c")))
-        s = c.groupBy("id").agg(F.sum("c").cast("bigint").alias("s"))
-        r = (nodes.join(s, "id", "left")
-                  .crossJoin(F.broadcast(nn))
-                  .select("id",
-                          (F.floor((F.lit(1 - _PR_DAMP) / F.col("_n")
-                                    + F.lit(_PR_DAMP)
-                                    * (F.coalesce(F.col("s"), F.lit(0))
-                                       / F.lit(1e12)))
-                                   * F.lit(1e12) + F.lit(0.5))
-                           / F.lit(1e12)).alias("r"))
-                  .localCheckpoint(eager=True))
+                              + F.lit(0.5)).cast("bigint").alias("c"),
+                      "_n"))
+        s = c.groupBy("id").agg(F.sum("c").cast("bigint").alias("s"),
+                                F.max("_n").alias("_n"))
+        r = (s.select("id",
+                      (F.floor((F.lit(1 - _PR_DAMP) / F.col("_n")
+                                + F.lit(_PR_DAMP)
+                                * (F.col("s") / F.lit(1e12)))
+                               * F.lit(1e12) + F.lit(0.5))
+                       / F.lit(1e12)).alias("r"),
+                      "_n")
+              .localCheckpoint(eager=True))
     return r.select(F.col("id").cast("bigint").alias("id"),
                     F.col("r").alias("pr"))
 
@@ -361,9 +377,14 @@ def bellman_ford_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier optimization in bfs_distances applies here too when
     weights are uniform, but general Bellman-Ford must relax all
     edges (negative-cycle-free by construction: weights >= 1)."""
+    # pre-distinct before the self-join (the kcore r12 m^2-fan-out
+    # guard): countDistinct(l_orderkey) per pair is unchanged by
+    # collapsing duplicate (order, supplier) rows, the join transient
+    # shrinks quadratically in the per-order line multiplicity
     li = (load(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_suppkey")
-          .filter(F.col("l_orderkey") % 4 == 0))
+          .filter(F.col("l_orderkey") % 4 == 0)
+          .distinct())
     x, y = li.alias("x"), li.alias("y")
     wedges = (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
                      & (F.col("x.l_suppkey") != F.col("y.l_suppkey")))

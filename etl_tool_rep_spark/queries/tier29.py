@@ -133,35 +133,44 @@ def kcore_decomposition(spark: SparkSession,
                      F.col("y.l_suppkey").alias("b"))
              .distinct()
              .localCheckpoint())
-    nodes = edges.select(F.col("a").alias("node")).distinct()
     deg0 = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree0"))
-    alive = nodes
-    peel = nodes.withColumn(
-        "peel_round", F.lit(None).cast("bigint"))
+    # r13 DELTA PEEL — the same restructure the DuckDB oracle got in
+    # r12: instead of recounting every survivor's degree from the
+    # full edge list each round (edges ⋈ alive ⋈ alive — two
+    # edge-sized shuffles per round), carry (node, deg) forward and
+    # per round only (a) split off this round's sub-K nodes, (b)
+    # decrement survivors by their edges INTO the dropped set —
+    # one edges ⋈ dropped join whose probe side shrinks to the peel
+    # frontier. deg(v) - |edges(v -> dropped)| equals the recount
+    # among survivors, so every round's dropped set — and therefore
+    # peel_round and in_core — is identical. in_core simplifies to
+    # "never peeled" (the survivors after round 6 are exactly the
+    # nodes with NULL peel_round, as before).
+    cur = deg0.select("node", F.col("degree0").alias("deg"))
+    drops = []
     for r in range(1, _KCORE_ROUNDS + 1):
-        nxt = (edges
-               .join(alive.withColumnRenamed("node", "a"), "a")
-               .join(alive.withColumnRenamed("node", "b"), "b")
-               .groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-               .filter(F.col("deg") >= _KCORE_K)
-               .select(F.col("a").alias("node"))
+        dropped = (cur.filter(F.col("deg") < _KCORE_K)
+                   .select("node").localCheckpoint())
+        drops.append(dropped.withColumn(
+            "peel_round", F.lit(r).cast("bigint")))
+        dec = (edges.join(dropped.withColumnRenamed("node", "b"), "b")
+               .groupBy(F.col("a").alias("node"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("_dec")))
+        cur = (cur.filter(F.col("deg") >= _KCORE_K)
+               .join(dec, "node", "left")
+               .select("node",
+                       (F.col("deg")
+                        - F.coalesce(F.col("_dec"), F.lit(0)))
+                       .alias("deg"))
                .localCheckpoint())
-        dropped = alive.join(nxt, "node", "left_anti")
-        peel = (peel.join(dropped.withColumn("r", F.lit(r)),
-                          "node", "left")
-                .select("node",
-                        F.coalesce("peel_round",
-                                   F.col("r").cast("bigint"))
-                        .alias("peel_round")))
-        alive = nxt
-    core = alive.withColumn("in_core", F.lit(True))
-    return (peel.join(deg0, "node")
-            .join(core, "node", "left")
+    peeled = drops[0]
+    for d in drops[1:]:
+        peeled = peeled.unionByName(d)
+    return (deg0.join(peeled, "node", "left")
             .select(F.col("node").alias("suppkey"), "degree0",
                     "peel_round",
-                    F.coalesce("in_core", F.lit(False))
-                    .alias("in_core")))
+                    F.col("peel_round").isNull().alias("in_core")))
 
 
 # ---------------------------------------------------------------------------

@@ -105,8 +105,10 @@ def maximal_independent_set(spark: SparkSession,
     the fixed unroll covers the bulk and the output marks what
     remains undecided (NULL round, in_mis false).
     """
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey")
+    # pre-distinct before the self-join (kcore's r12 m^2-fan-out
+    # guard; edge set identical)
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct())
     x, y = li.alias("x"), li.alias("y")
     edges = (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
                     & (F.col("x.l_suppkey") != F.col("y.l_suppkey")))

@@ -163,26 +163,44 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     first aggregation, so the scored set is tiny regardless of corpus
     size; df/avgdl are scalar/broadcast sides."""
     toks = _tokens(spark, sf_dir)
-    dlen = (toks.groupBy("doc_id")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("dl")))
+    # r13: ONE tokenize pass. The old shape derived dlen, avgdl and
+    # tf each from `toks`, and tf fed two branches — the explode
+    # subtree planned (and ran) FOUR times (4 documents scans in the
+    # r13-open plan). A single per-doc aggregation computes dl and
+    # one count_if per query term map-side-combinably; the per-term
+    # counts unpivot JVM-side into the (doc_id, token, tf) rows the
+    # oracle's tf CTE produces (count_if(token = t) == the grouped
+    # count, rows with tf = 0 dropped exactly like the missing
+    # groups), and dl rides along so the old dlen join disappears.
+    # The doc-sized frame is pinned for its three consumers.
+    per_doc = (toks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("dl"),
+                    *[F.count_if(F.col("token") == t).cast("bigint")
+                      .alias(f"_tf_{i}")
+                      for i, t in enumerate(QUERY_TERMS)])
+               .localCheckpoint(eager=False))
     # corpus stats stay in-plan: a 1-row (n_docs, avgdl) aggregate is
-    # broadcast-crossJoined instead of collect()ed, so the whole query
-    # is one job and the token scan is never recomputed for scalars
-    # (mirrors the oracle's CROSS JOIN stats)
+    # broadcast-crossJoined instead of collect()ed (mirrors the
+    # oracle's CROSS JOIN stats)
     stats = (load(spark, sf_dir, "documents")
              .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-             .crossJoin(dlen.agg(F.avg("dl").alias("avgdl"))))
-    tf = (toks.filter(F.col("token").isin(*QUERY_TERMS))
-              .groupBy("doc_id", "token")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+             .crossJoin(per_doc.agg(F.avg("dl").alias("avgdl"))))
+    tf = (per_doc.select("doc_id", "dl", F.explode(F.array(*[
+            F.struct(F.lit(t).alias("token"),
+                     F.col(f"_tf_{i}").alias("tf"))
+            for i, t in enumerate(QUERY_TERMS)])).alias("_e"))
+          .select("doc_id", "dl", "_e.token", "_e.tf")
+          .filter(F.col("tf") > 0))
+    # tf holds one row per (doc, token): COUNT(*) == COUNT(DISTINCT
+    # doc_id) here, and count is combinable without a distinct pass
     df = (tf.groupBy("token")
-            .agg(F.countDistinct("doc_id").cast("bigint").alias("df")))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     part = (idf * F.col("tf") * (BM25_K1 + 1)
             / (F.col("tf") + BM25_K1 * (1 - BM25_B
                + BM25_B * F.col("dl") / F.col("avgdl"))))
-    return (tf.join(F.broadcast(df), "token").join(dlen, "doc_id")
+    return (tf.join(F.broadcast(df), "token")
               .crossJoin(F.broadcast(stats))
               .select("doc_id", part.alias("part"))
               .groupBy("doc_id")
