@@ -114,12 +114,20 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.explode(word_shingles(F.col("text"), 3))
                      .alias("g")))
-    firsts = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1) \
-             .otherwise(0)
-    return (tri.join(firsts, "g")
+    # r13: collapse to (gram, doc, occurrences) FIRST — one explode
+    # instead of two (tri fed both the firsts aggregate and the join
+    # probe, so the shingle pass planned and ran twice), and the
+    # pinned pair table is duplicate-gram-collapsed before both
+    # shuffles. Weighting by c keeps occurrence semantics identical.
+    g2 = (tri.groupBy("g", "doc_id")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))
+    firsts = g2.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"),
+                   F.col("c")).otherwise(0)
+    return (g2.join(firsts, "g")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            .agg(F.sum("c").cast("bigint").alias("n_grams"),
                  F.sum(novel).cast("bigint").alias("n_novel"),
-                 F.round(F.sum(novel) / F.count(F.lit(1)), 6)
+                 F.round(F.sum(novel) / F.sum("c"), 6)
                   .alias("novelty_ratio")))

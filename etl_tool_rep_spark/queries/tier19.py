@@ -329,22 +329,27 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = d.select("doc_id", "lang",
                      F.explode(F.split(F.col("text"), r"\s+")).alias("wd"))
+    # r13: pin the bucketed token frame (it feeds the bucket census
+    # AND the scoring join — the tokenize ran once per consumer
+    # before), and take raw+target counts in ONE pass (count +
+    # count_if instead of two corpus aggregations; a bucket with no
+    # 'en' tokens yields tc = 0, exactly what the old left join's
+    # COALESCE produced)
     feats = words.select(
         "doc_id", "lang",
         ((F.ascii(F.substring(F.col("wd"), 1, 1)) * 31
-          + F.length(F.col("wd"))) % 64).alias("b"))
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).cast("bigint")
-                                  .alias("rc"))
-    tgt = (feats.filter(F.col("lang") == "en")
-                .groupBy("b").agg(F.count(F.lit(1)).cast("bigint")
-                                   .alias("tc")))
-    rt = raw.agg(F.sum("rc").cast("bigint").alias("_rt"))
-    tt = tgt.agg(F.sum("tc").cast("bigint").alias("_tt"))
-    lr = (raw.join(tgt, "b", "left")
+          + F.length(F.col("wd"))) % 64).alias("b")) \
+        .localCheckpoint(eager=False)
+    stats = feats.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rc"),
+        F.count_if(F.col("lang") == "en").cast("bigint").alias("tc"))
+    rt = stats.agg(F.sum("rc").cast("bigint").alias("_rt"))
+    tt = stats.agg(F.sum("tc").cast("bigint").alias("_tt"))
+    lr = (stats
              .crossJoin(F.broadcast(rt)).crossJoin(F.broadcast(tt))
              .select("b",
                      F.round(
-                         F.log((F.coalesce(F.col("tc"), F.lit(0))
+                         F.log((F.col("tc")
                                 + F.lit(1.0))
                                / (F.col("_tt") + F.lit(64)))
                          - F.log((F.col("rc") + F.lit(1.0))

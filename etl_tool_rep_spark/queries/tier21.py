@@ -191,8 +191,13 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are candidate-bounded. Identical docs make identical
     buckets (bounded by true dup-cluster size, same posture as
     operators/dedup.minhash_lsh_pairs)."""
-    sh = _with_shingles(load(spark, sf_dir, "documents")) \
-        .select("doc_id", "_sh")
+    # r13: pin the shingle table — it feeds the banded self-join's
+    # two sides AND both verify attaches (4 plan copies of the
+    # tokenize+shingle pass before the pin; multi-consumer recompute,
+    # BENCH_r12_note pattern)
+    sh = (_with_shingles(load(spark, sf_dir, "documents"))
+          .select("doc_id", "_sh")
+          .localCheckpoint(eager=False))
     def _perm_min(a: int, b: int):
         # one-arg lambda via closure: PySpark maps the Python arity
         # onto the HOF arity, so default-arg tricks break analysis
@@ -209,10 +214,14 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + F.element_at("_mh", _ROWS * b + i),
                          F.lit(_P))
         bkeys.append(acc)
+    # pin the banded keys too: the self-join's two sides otherwise
+    # re-run the 16-permutation minima per side (4 rows per doc —
+    # metadata-sized)
     banded = (sh.withColumn("_mh", mh)
                 .select("doc_id",
                         F.posexplode(F.array(*bkeys))
-                         .alias("band", "bkey")))
+                         .alias("band", "bkey"))
+                .localCheckpoint(eager=False))
     cand = (banded.alias("a")
             .join(banded.alias("b"), ["band", "bkey"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -473,13 +473,17 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined, and the corpus scalars ride in a broadcast.
     """
     docs = load(spark, sf_dir, "documents")
+    # r13: pin the token frame and the census — toks feeds the
+    # census and the scoring join, freq feeds the corpus scalars and
+    # the same join; unpinned, the tokenize ran 3x (r13-open plan)
     toks = docs.select(
         "doc_id",
         F.explode(F.expr(
             "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
-        .alias("w"))
-    freq = toks.groupBy("w").agg(
+        .alias("w")).localCheckpoint(eager=False)
+    freq = (toks.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False))
     corpus = freq.agg(F.sum("cnt").cast("bigint").alias("t"),
                       F.count(F.lit(1)).cast("bigint").alias("v"))
     scored = (toks.join(freq, "w")

@@ -324,11 +324,15 @@ def naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row/|classes|-row broadcasts.
     """
     docs = load(spark, sf_dir, "documents")
+    # r13: pin the token frame — it feeds five consumers (cls, cw,
+    # vocab and the scoring fan), each of which otherwise re-plans
+    # and re-runs the tokenize+explode (5 documents scans in the
+    # r13-open plan)
     toks = docs.select(
         "doc_id", "lang",
         F.explode(F.expr(
             "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
-        .alias("w"))
+        .alias("w")).localCheckpoint(eager=False)
     cls = toks.groupBy(F.col("lang").alias("c")).agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
     prior = cls.withColumn(

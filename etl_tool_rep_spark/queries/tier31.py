@@ -30,6 +30,11 @@ from ..catalog import load
 from .registry import query
 
 _PCA_ROUNDS = 6
+# level-1 salt fan-out for the Gram sum; scale-adaptive via env on a
+# cluster (default sized for <= ~3e8 embeddings, see pca docstring)
+import os as _os
+
+_GRAM_SALTS = int(_os.environ.get("SPARK_GRAFT_GRAM_SALTS", "32"))
 _HITS_ROUNDS = 4
 _PERC_ROUNDS = 4
 
@@ -119,19 +124,37 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("v").cast("double") * 1000000.0 + 0.5)
                 .cast("bigint").alias("xq")))
     a, b = el.alias("a"), el.alias("b")
+    # r13 salted two-level Gram sum (the q1 pattern, guide §2.5):
+    # with d=64 the census collapses onto 4096 cells, so every
+    # d^2-per-row product funnelled into a handful of decimal(38,0)
+    # buffers — the BigDecimal update dominated the corpus-sized
+    # stage. Level 1 sums LONGs per (i, j, salt): |xq| <= ~1e6-scale
+    # => product <= ~1e12, so a partial stays < 2^63 up to ~9e6 rows
+    # per (cell, salt) — ~3e8 embeddings at the default 32 salts
+    # (env knob above sizes it up past that). Level 2 sums the
+    # d^2 x salts long partials into the same decimal(38,0) —
+    # identical value (interleaved A/B at sf0.1: 5.21 -> 3.07 s).
+    # Salt kept SMALL on purpose: it multiplies the level-1 group
+    # space; a 1024-salt attempt blew the map-side hash to 4M groups
+    # and regressed.
+    salt = F.pmod(F.xxhash64(F.col("a.vec_id")), F.lit(_GRAM_SALTS))
     gram = (a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
             .groupBy(F.col("a.i").alias("i"),
-                     F.col("b.i").alias("j"))
-            .agg(F.sum(F.col("a.xq").cast("decimal(38,0)")
-                       * F.col("b.xq")).alias("g"))
+                     F.col("b.i").alias("j"), salt.alias("_salt"))
+            .agg(F.sum(F.col("a.xq") * F.col("b.xq")).alias("pg"))
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("pg").cast("decimal(38,0)")).alias("g"))
             .localCheckpoint())
     v = gram.select("i").distinct().select(
         F.col("i").alias("j"),
         F.lit(1000000).cast("bigint").alias("vq"))
     for _ in range(_PCA_ROUNDS):
+        # pin u: it feeds both the max and the rescale; d-sized
+        # frame, and the recompute would re-run the gram join
         u = (gram.join(F.broadcast(v), "j")
              .groupBy("i")
-             .agg(F.sum(F.col("g") * F.col("vq")).alias("u")))
+             .agg(F.sum(F.col("g") * F.col("vq")).alias("u"))
+             .localCheckpoint(eager=False))
         mx = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
         v = (u.crossJoin(F.broadcast(mx))
              .select(F.col("i").alias("j"),

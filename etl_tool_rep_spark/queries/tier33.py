@@ -206,6 +206,9 @@ def quantile_normalization(spark: SparkSession,
         F.col("o_orderpriority").alias("prio"),
         F.floor(F.col("o_totalprice") * 100.0 + 0.5)
         .cast("bigint").alias("cents"))
+    # r13 pin: vals feeds the group census, both rank engines and the
+    # scalar attach — four re-scans of orders unpinned
+    vals = vals.localCheckpoint(eager=False)
     ngs = vals.groupBy("prio").agg(
         F.count(F.lit(1)).cast("bigint").alias("ng"))
     grp = (grouped_row_number(vals, ["prio"],
@@ -292,8 +295,12 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(transform(sequence(0, size(ws) - 2),"
         " i -> struct(ws[i] AS w1, ws[i + 1] AS w2)))").alias("p")
     ).select("p.w1", "p.w2")
-    bc = big.groupBy("w1", "w2").agg(
+    # r13: pin the bigram census — c1/cont/tt and the final join all
+    # consume bc, re-running the tokenize+bigram explode per branch
+    # (4 documents scans in the r13-open plan) without the pin
+    bc = (big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False))
     c1 = bc.groupBy("w1").agg(
         F.sum("c").cast("bigint").alias("ctot"),
         F.count(F.lit(1)).cast("bigint").alias("ntypes"))
@@ -377,7 +384,10 @@ def topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(
             "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
         .alias("w"))
-        .distinct())
+        .distinct()
+        # r13 pin: toks feeds the df census and BOTH sides of the
+        # co-occurrence join — tokenize+distinct ran 3x unpinned
+        .localCheckpoint(eager=False))
     freq = toks.groupBy("lang", "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"))
     top = freq.withColumn("rk", F.row_number().over(

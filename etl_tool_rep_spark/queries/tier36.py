@@ -118,9 +118,13 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       one equi-join on (lang, pos_h) to recover the doc id.
     """
     docs = load(spark, sf_dir, "documents")
+    # r13 pin: d2 feeds anchors, candidates and the positives union
+    # (15 documents scans in the r13-open plan, all of this 3-column
+    # projection)
     d2 = docs.select(
         "doc_id", "lang",
-        F.expr("(doc_id * 2654435761) % 2147483648").alias("h"))
+        F.expr("(doc_id * 2654435761) % 2147483648").alias("h")) \
+        .localCheckpoint(eager=False)
     anchors = (d2.filter(F.col("doc_id") % 50 == 0)
                .select(F.col("doc_id").alias("anchor_id"),
                        "lang", "h"))

@@ -104,10 +104,15 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-rounded score with a token tie-break so cross-engine ln()
     ulps can't flip the cut."""
     toks = _tokens(spark, sf_dir)
+    # r13: pin the tf census and derive df FROM it — tf already holds
+    # one row per (doc, token), so count(*) per token equals the old
+    # countDistinct over raw tokens, without a distinct pass or a
+    # second tokenize (toks previously fed both censuses)
     tf = (toks.groupBy("doc_id", "token")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
-    df = (toks.groupBy("token")
-              .agg(F.countDistinct("doc_id").cast("bigint").alias("df")))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+              .localCheckpoint(eager=False))
+    df = (tf.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
     # in-plan scalar (broadcast 1-row crossJoin), not a .count() job
     n = (load(spark, sf_dir, "documents")
          .agg(F.count(F.lit(1)).cast("double").alias("n_docs")))

@@ -263,9 +263,13 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of accumulation order.
     """
     docs = load(spark, sf_dir, "documents")
+    # r13: pin — words feeds the census and the scoring join, freq
+    # the corpus scalar and the same join (tokenize ran 3x unpinned)
     words = docs.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("wd"))
-    freq = words.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("wd")) \
+        .localCheckpoint(eager=False)
+    freq = (words.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False))
     tot = freq.agg(F.sum("cnt").alias("total"))
     neglog = F.round(
         -F.log(F.col("cnt").cast("double") / F.col("total")), 6) \

@@ -185,7 +185,10 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, edges in both directions). Convergence and mass
     conservation are asserted in tests against a numpy power
     iteration on the same graph."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # pre-distinct before the self-join (kcore's r12 m^2-fan-out
+    # guard; the pair set after DISTINCT is identical)
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct())
     l1 = li.toDF("ok", "a")
     l2 = li.toDF("ok2", "b")
     pairs = (l1.join(l2, (F.col("ok") == F.col("ok2"))

@@ -35,6 +35,10 @@ def _REV():
 
 _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 
+# q1 salt fan-out: 1024 partials per group bounds each long partial
+# sum to < 2^63 through ~sf1e5 (see tpch_q1_pricing docstring)
+_Q1_SALTS = 1024
+
 
 @query(
     "tpch_q1_pricing",
@@ -66,10 +70,11 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-filtered scan, grouped by the 2-flag key (≤6 groups).
 
     Scale: the canonical map-side-combine showcase — partial aggs
-    reduce each scan partition to ≤6 rows before a tiny exchange;
-    the shipdate filter pushes to the parquet scan. Averages are
-    derived from the same decimal sums as the sum columns (one pass,
-    engine-identical float division).
+    reduce each scan partition to ≤6x1024 salted partial rows
+    before a tiny exchange (r13: two-level, see below); the shipdate
+    filter pushes to the parquet scan. Averages are derived from the
+    same exact sums as the sum columns (one pass, engine-identical
+    float division).
 
     sum_charge sums exact integer MICRO-UNITS (floor(x*1e6 + 0.5))
     instead of casting the double product to DECIMAL(24,6) per row:
@@ -84,18 +89,52 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-    cnt = F.count(F.lit(1))
-    sum_qty = F.sum(_dec("l_quantity")).cast("double")
-    sum_price = F.sum(_dec("l_extendedprice")).cast("double")
-    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+    # r13 SALTED TWO-LEVEL SUMS (guide §2.5 two-level aggregation):
+    # with only ~6 groups, every row funnels into a handful of
+    # decimal(28,4) sum buffers — the decimal update dominated the
+    # query (decimal sums 1.54 s vs long sums 0.70 s isolated at
+    # sf0.1). Level 1 sums exact scaled-integer units (x * 1e4, exact
+    # because x is decimal(18,4)) as LONGs per (group, salt-of-1024);
+    # level 2 sums the ~6k long partials into decimal(38,0) and
+    # rescales — the same rational number, the same correctly-rounded
+    # double, verified bit-identical per group and by the oracle.
+    # Overflow bound, level 1: |xl| <= 1e9 (price-scale), rows per
+    # (group, salt) ~ rows/6/1024 — the partial stays < 2^63 through
+    # ~sf1e5 (100 TB) with ~90x margin; level 2 is decimal(38,0).
+    # The salt key derives from data columns (deterministic under
+    # task retry, guide §2.5), never rand().
+    cnt = F.sum("p_cnt")
+    D = "decimal(38,0)"
+    scale4 = F.expr("CAST(0.0001 AS DECIMAL(5,4))")
+
+    def xl(c):
+        return (_dec(c) * 10000).cast("long")
+
+    # salt from columns the aggregate already reads (no extra scan
+    # width; deterministic under retry — pure function of row values)
+    salt = F.pmod(F.xxhash64("l_extendedprice", "l_quantity",
+                             "l_discount", "l_tax", "l_shipdate"),
+                  F.lit(_Q1_SALTS))
+    p = (li.groupBy("l_returnflag", "l_linestatus", salt.alias("_salt"))
+         .agg(F.sum(xl("l_quantity")).alias("p_qty"),
+              F.sum(xl("l_extendedprice")).alias("p_price"),
+              F.sum(xl(_REV())).alias("p_disc"),
+              F.sum(xl("l_discount")).alias("p_dsc"),
+              F.sum(F.floor(_REV() * (1 + F.col("l_tax")) * 1e6 + 0.5)
+                    .cast("long")).alias("p_charge"),
+              F.count(F.lit(1)).alias("p_cnt")))
+    sum_qty = (F.sum(F.col("p_qty").cast(D)) * scale4).cast("double")
+    sum_price = (F.sum(F.col("p_price").cast(D)) * scale4).cast("double")
+    return (p.groupBy("l_returnflag", "l_linestatus").agg(
         sum_qty.alias("sum_qty"),
         sum_price.alias("sum_base_price"),
-        F.sum(_dec(_REV())).cast("double").alias("sum_disc_price"),
-        (F.sum(F.floor(_REV() * (1 + F.col("l_tax")) * 1e6 + 0.5)
-               .cast("long")).cast("double") / 1e6).alias("sum_charge"),
+        (F.sum(F.col("p_disc").cast(D)) * scale4).cast("double")
+        .alias("sum_disc_price"),
+        (F.sum("p_charge").cast("double") / 1e6).alias("sum_charge"),
         (sum_qty / cnt).alias("avg_qty"),
         (sum_price / cnt).alias("avg_price"),
-        (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        ((F.sum(F.col("p_dsc").cast(D)) * scale4).cast("double") / cnt)
+        .alias("avg_disc"),
         cnt.cast("bigint").alias("count_order")))
 
 

@@ -21,9 +21,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # local[N] testing: match core count, not the 200 default.
-    # On a cluster, override via spark-submit --conf.
-    "spark.sql.shuffle.partitions": "32",
+    # r13: scale-adaptive instead of a hard-coded 32 — follow the
+    # provisioned core count when the harness declares it (the
+    # driver benches at several core counts; shuffle width should
+    # track them), floor 16 so tiny-core runs keep AQE coalescing
+    # headroom, and the 32 default stands elsewhere. On a cluster,
+    # override via spark-submit --conf (partitions should then track
+    # data volume, not this local heuristic).
+    "spark.sql.shuffle.partitions": str(max(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32"), 16)),
     # 64 MiB input splits keep ~100 TB scans at ~1.6M tasks w/ AQE
     # coalescing; at local SF it just avoids tiny-partition overhead.
     "spark.sql.files.maxPartitionBytes": "134217728",
