@@ -84,7 +84,8 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the 6th decimal quantize differently — invisible at sf0.1,
     ~4 rows at sf1 (caught by the scale rehearsal's oracle run). The
     floor idiom evaluates identical doubles identically in both
-    engines; the integer sum is exact (< 2^63 up to ~sf1000) and the
+    engines; the integer sum is exact (r13: the salted level-1 sums
+    below stretch its < 2^63 bound from ~sf1000 to ~sf1e5) and the
     final long->double + /1e6 rounds once, identically.
     """
     li = load(spark, sf_dir, "lineitem").filter(

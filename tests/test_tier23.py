@@ -46,3 +46,54 @@ def test_cdc_exact_copy_shares_every_chunk(spark, monkeypatch):
     # covers the full body: sum of shared chunk lengths == len(body)
     assert all(r["n_docs"] == 2 and r["n_occ"] == 2 for r in got)
     assert sum(r["chunk_len"] for r in got) == len(body)
+
+
+# ---------------------------------------------------------------------------
+# r13: the boundary/fingerprint kernel moved to a vectorized numpy
+# mapInArrow pass — pin it against an independent pure-Python Horner
+# reference (the arithmetic the old JVM fold and the DuckDB oracle
+# both express) on adversarial shapes: below/at/just-over the window
+# width, boundary-free, non-ASCII codepoints, and a long document.
+# ---------------------------------------------------------------------------
+
+def _ref_chunks(text: str):
+    P, B, W, MASK = t23._P, t23._B, t23._W, t23._MASK
+    cs = [ord(c) for c in text]
+    n = len(cs)
+    cuts = []
+    for i in range(W, n):          # 1-based i in [W, n-1]
+        acc = 0
+        for c in cs[i - W:i]:
+            acc = (acc * B + c) % P
+        if acc % MASK == 0:
+            cuts.append(i)
+    bs = [0] + cuts + [n]
+    out = []
+    for s, e in zip(bs[:-1], bs[1:]):
+        acc = 0
+        for c in cs[s:e]:
+            acc = (acc * B + c) % P
+        out.append((acc, e - s))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("text", [
+    "a",                                   # n < W: single chunk
+    "abcdefgh",                            # n == W: no boundary slots
+    "abcdefghi",                           # n == W + 1: one slot
+    "é漢字 mixed unicode \U0001f600 text",  # codepoints
+    "zzzzzzzzzzzzzzzzzzzzzzzzzzzz",        # uniform, likely no cuts
+    _body(40),                             # long doc, many chunks
+])
+def test_cdc_numpy_kernel_matches_horner_reference(text):
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([7], pa.int64()), pa.array([text], pa.string())],
+        names=["doc_id", "text"])
+    got = []
+    for out in t23._cdc_chunks_arrow(iter([batch])):
+        got.extend(zip(out.column("fp").to_pylist(),
+                       out.column("ln").to_pylist()))
+    assert sorted(got) == _ref_chunks(text)
+    assert sum(ln for _, ln in got) == len(text)
