@@ -1,11 +1,10 @@
-"""Pure-stdlib baseline JPEG codec (grayscale) for the multimodal
-surface — the round-8 companion to ``operators/png.py``.
+"""Baseline JPEG codec (grayscale) for the multimodal surface — the
+round-8 companion to ``operators/png.py``.
 
 Real training corpora are JPEG-heavy; the container ships no image
 libraries, but baseline JPEG is a fully public spec (ITU-T T.81 /
 ISO 10918-1): 8x8 block DCT, uniform quantization, zigzag ordering,
-canonical Huffman entropy coding with byte stuffing — all expressible
-with ``math``/``struct`` from the standard library. This module
+canonical Huffman entropy coding with byte stuffing. This module
 implements a spec-conformant subset:
 
 * SOF0 baseline DCT, single component (8-bit grayscale), no
@@ -16,6 +15,18 @@ implements a spec-conformant subset:
 * decoder: general marker walk (skips APPn/COM), arbitrary DQT/DHT
   (it does NOT assume the Annex K tables), canonical Huffman decode
   with byte unstuffing, dequantize, float IDCT, level shift + clamp.
+
+r14 vectorization (guide §4.2 — do the heavy lifting in native code):
+the per-pixel/per-coefficient Python loops were the top untouched
+sweep cost. All blocks of an image now run as BATCHED numpy kernels —
+edge padding via ``np.pad``, fDCT/IDCT as stacked 8x8 matrix products
+(bit-identical per block to the previous per-block numpy products:
+``np.matmul`` over a stacked (N,8,8) operand applies the same 2-D
+product per slice), zigzag/quantize/clamp as array expressions — and
+the Huffman decoder reads via a 16-bit prefix LUT over a chunked
+integer bit-buffer instead of a per-bit function call. Byte-identical
+encode output and pixel-identical decode on the full adversarial
+reference suite (tests/test_jpeg.py::test_kernels_match_reference).
 
 Exactness note for the oracle gate (``queries/tier40.jpeg_decode_
 exact``): JPEG is lossy in general, so cross-engine certification
@@ -40,6 +51,8 @@ from __future__ import annotations
 
 import math
 import struct
+
+import numpy as np
 
 _MAX_PIXEL_BYTES = 256 * 1024 * 1024
 
@@ -89,6 +102,10 @@ _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
         for x in range(8)]
 _C = [1 / math.sqrt(2)] + [1.0] * 7
 
+_NP_COS = np.array(_COS)              # [x][u]
+_NP_CC = 0.25 * np.outer(_C, _C)      # [u][v] scale
+_NP_ZZ = np.array(_ZIGZAG, dtype=np.int64)
+
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
     """symbol -> (code, length) per T.81 Annex C code assignment."""
@@ -129,102 +146,6 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)    # 1-fill per spec
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
-
-    def bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise JpegError("entropy data truncated")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise JpegError("truncated after 0xFF")
-                marker = self.data[self.pos]
-                if marker == 0x00:
-                    self.pos += 1            # stuffed byte
-                else:
-                    raise JpegError(
-                        f"unexpected marker 0xFF{marker:02X} in scan")
-            self._acc = byte
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map s unsigned bits to a signed value."""
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
-def _category(v: int) -> int:
-    return v.bit_length() if v >= 0 else (-v).bit_length()
-
-
-try:                                   # vectorized transform kernels
-    import numpy as _np
-    _NP_COS = _np.array(_COS)          # [x][u]
-    _NP_CC = 0.25 * _np.outer(_C, _C)  # [u][v] scale
-except ImportError:                    # pragma: no cover — stdlib-only
-    _np = None
-
-
-def _fdct(block: list[float]) -> list[float]:
-    """Forward 8x8 DCT (T.81 A.3.3). The numpy path computes the same
-    sums as matrix products — for the block-constant inputs the
-    exact-oracle key feeds in, the DC is a sum of 64 equal small
-    integers (exact in doubles in any order) and every AC magnitude
-    is ~1e-13, far under the 0.5 quantization threshold, so the
-    QUANTIZED output is bit-identical to the loop form; general
-    inputs are covered by the pytest tolerance contract."""
-    if _np is not None:
-        b = _np.asarray(block, dtype=_np.float64).reshape(8, 8)
-        s = _NP_COS.T @ b.T @ _NP_COS      # s[u][v] = sum b*cosx*cosy
-        return (_NP_CC * s).T.reshape(64).tolist()
-    out = [0.0] * 64
-    for u in range(8):
-        for v in range(8):
-            s = 0.0
-            for x in range(8):
-                for y in range(8):
-                    s += block[y * 8 + x] * _COS[x][u] * _COS[y][v]
-            out[v * 8 + u] = 0.25 * _C[u] * _C[v] * s
-    return out
-
-
-def _idct(coef: list[float]) -> list[float]:
-    """Inverse 8x8 DCT. numpy path: for DC-only blocks every pixel's
-    sum has ONE nonzero term (DC/8 — exact in doubles), so the gate
-    inputs decode bit-identically; general blocks fall under the
-    lossy tolerance contract."""
-    if _np is not None:
-        c = (_NP_CC * _np.asarray(coef, dtype=_np.float64)
-             .reshape(8, 8).T)             # [u][v] scaled
-        out = _NP_COS @ c @ _NP_COS.T      # [x][y]
-        return out.T.reshape(64).tolist()
-    out = [0.0] * 64
-    for x in range(8):
-        for y in range(8):
-            s = 0.0
-            for u in range(8):
-                for v in range(8):
-                    s += (_C[u] * _C[v] * coef[v * 8 + u]
-                          * _COS[x][u] * _COS[y][v])
-            out[y * 8 + x] = 0.25 * s
-    return out
-
-
 def encode_jpeg_gray(pixels: bytes, width: int, height: int,
                      quant: list[int] | None = None) -> bytes:
     """Encode 8-bit grayscale pixels (row-major) as a baseline JFIF
@@ -240,44 +161,52 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int,
         raise JpegError("quant table must be 64 values in 1..255")
 
     bw, bh = (width + 7) // 8, (height + 7) // 8
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width)
+    # edge-replicated padding == the per-pixel min(coord, dim-1) clamp
+    pad = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)),
+                 mode="edge")
+    blocks = (pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(bh * bw, 8, 8).astype(np.float64) - 128.0)
+    # batched fDCT (T.81 A.3.3): s[u][v] = sum_x sum_y b[y][x] cos cos
+    s = _NP_COS.T @ blocks.transpose(0, 2, 1) @ _NP_COS
+    coef = (_NP_CC * s).transpose(0, 2, 1).reshape(-1, 64)
+    # zigzag + quantize, rounding half away from zero (not banker's)
+    c = coef[:, _NP_ZZ] / np.asarray(q, dtype=np.float64)
+    zz = np.where(c >= 0, np.floor(c + 0.5),
+                  -np.floor(-c + 0.5)).astype(np.int64)
+    diffs = np.diff(zz[:, 0], prepend=np.int64(0))  # DC prediction
+
     w = _BitWriter()
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = []
-            for y in range(8):
-                sy = min(by * 8 + y, height - 1)
-                for x in range(8):
-                    sx = min(bx * 8 + x, width - 1)
-                    block.append(float(pixels[sy * width + sx]) - 128.0)
-            coef = _fdct(block)
-            zz = [0] * 64
-            for i in range(64):
-                c = coef[_ZIGZAG[i]] / q[i]
-                # round half away from zero (not banker's)
-                zz[i] = int(math.floor(c + 0.5)) if c >= 0 \
-                    else -int(math.floor(-c + 0.5))
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            w.put(*_DC_ENC[s])
-            if s:
-                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    w.put(*_AC_ENC[0xF0])    # ZRL
-                    run -= 16
-                s = _category(zz[i])
-                w.put(*_AC_ENC[(run << 4) | s])
-                w.put(zz[i] if zz[i] > 0 else zz[i] + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                w.put(*_AC_ENC[0x00])        # EOB
+    put = w.put
+    # nonzero AC positions for all blocks at once; rows come out
+    # sorted by block, so searchsorted yields per-block slices
+    nz_rows, nz_cols = np.nonzero(zz[:, 1:])
+    nz_cols = nz_cols + 1
+    starts = np.searchsorted(nz_rows, np.arange(zz.shape[0] + 1))
+    diffs_l = diffs.tolist()
+    cols_l = nz_cols.tolist()
+    vals_l = zz[nz_rows, nz_cols].tolist()
+    for bi in range(zz.shape[0]):
+        diff = diffs_l[bi]
+        s_ = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        put(*_DC_ENC[s_])
+        if s_:
+            put(diff if diff > 0 else diff + (1 << s_) - 1, s_)
+        prev = 0
+        for j in range(starts[bi], starts[bi + 1]):
+            k = cols_l[j]
+            v = vals_l[j]
+            run = k - prev - 1
+            while run > 15:
+                put(*_AC_ENC[0xF0])          # ZRL
+                run -= 16
+            s_ = v.bit_length() if v >= 0 else (-v).bit_length()
+            put(*_AC_ENC[(run << 4) | s_])
+            put(v if v > 0 else v + (1 << s_) - 1, s_)
+            prev = k
+        if prev < 63:
+            put(*_AC_ENC[0x00])              # EOB
     w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -300,38 +229,44 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int,
     return bytes(out)
 
 
+# 16-bit prefix LUTs keyed by the DHT table bytes: every decoded image
+# in a corpus typically shares a handful of tables, so the 64 Ki-entry
+# build cost amortizes to zero (cache lives for the Python worker)
+_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
 def _decode_huff_tables(payload: bytes) -> dict:
-    """One DHT segment may carry several tables."""
+    """One DHT segment may carry several tables. Each becomes a pair
+    of 65536-entry lists (symbol, code length) indexed by the next 16
+    bits of the stream — canonical codes are prefix-free, so every
+    16-bit word with a given code prefix maps to that code's symbol;
+    -1 marks invalid prefixes."""
     tables, i = {}, 0
     while i < len(payload):
         tc_th = payload[i]
-        bits = list(payload[i + 1:i + 17])
+        bits = bytes(payload[i + 1:i + 17])
         n = sum(bits)
-        vals = list(payload[i + 17:i + 17 + n])
+        vals = bytes(payload[i + 17:i + 17 + n])
         if len(vals) != n:
             raise JpegError("truncated DHT")
-        # decode map: (length, code) -> symbol
-        dec, code, k = {}, 0, 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                dec[(length, code)] = vals[k]
-                code += 1
-                k += 1
-            code <<= 1
-        tables[tc_th] = dec
+        key = bits + vals
+        lut = _LUT_CACHE.get(key)
+        if lut is None:
+            sym = np.full(1 << 16, -1, dtype=np.int32)
+            ln = np.zeros(1 << 16, dtype=np.int32)
+            code, k = 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    sym[code << (16 - length):(code + 1) << (16 - length)] = vals[k]
+                    ln[code << (16 - length):(code + 1) << (16 - length)] = length
+                    code += 1
+                    k += 1
+                code <<= 1
+            lut = (sym.tolist(), ln.tolist())   # list indexing beats
+            _LUT_CACHE[key] = lut               # numpy scalar reads
+        tables[tc_th] = lut
         i += 17 + n
     return tables
-
-
-def _read_huff(r: _BitReader, dec: dict) -> int:
-    code, length = 0, 0
-    while length < 17:
-        code = (code << 1) | r.bit()
-        length += 1
-        sym = dec.get((length, code))
-        if sym is not None:
-            return sym
-    raise JpegError("invalid Huffman code")
 
 
 def decode_jpeg_gray(payload: bytes) -> tuple[bytes, int, int]:
@@ -343,7 +278,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[bytes, int, int]:
         raise JpegError("missing SOI")
     i = 2
     quant: dict[int, list[int]] = {}
-    huff: dict[int, dict] = {}
+    huff: dict[int, tuple[list[int], list[int]]] = {}
     width = height = None
     comp_q = comp_dc = comp_ac = 0
     while True:
@@ -407,44 +342,109 @@ def decode_jpeg_gray(payload: bytes) -> tuple[bytes, int, int]:
     if q is None or dc_tab is None or ac_tab is None:
         raise JpegError("missing tables")
 
+    # unstuff the entropy segment in one numpy pass: data ends at the
+    # first 0xFF followed by a non-0x00 byte (a real marker), and every
+    # 0x00 directly after a 0xFF is a stuffed byte to drop
+    tail = np.frombuffer(payload, dtype=np.uint8)[i:]
+    is_ff = tail == 0xFF
+    nxt = np.empty_like(tail)
+    if tail.size:
+        nxt[:-1] = tail[1:]
+        # a lone trailing 0xFF is truncated data: treat as scan end
+        nxt[-1] = 0xD9 if is_ff[-1] else 0
+    marker_pos = np.flatnonzero(is_ff & (nxt != 0))
+    end = int(marker_pos[0]) if marker_pos.size else tail.size
+    seg = tail[:end]
+    keep = np.ones(seg.size, dtype=bool)
+    keep[1:] = ~is_ff[:end - 1] | (seg[1:] != 0)
+    buf = seg[keep].tobytes()
+
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = bytearray(width * height)
-    r = _BitReader(payload, i)
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            s = _read_huff(r, dc_tab)
-            diff = _extend(r.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _read_huff(r, ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:            # ZRL
-                        k += 16
-                        continue
-                    break                    # EOB
-                k += run
-                if k > 63:
-                    raise JpegError("AC index out of range")
-                zz[k] = _extend(r.bits(size), size)
-                k += 1
-            coef = [0.0] * 64
-            for j in range(64):
-                coef[_ZIGZAG[j]] = float(zz[j] * q[j])
-            block = _idct(coef)
-            for y in range(8):
-                sy = by * 8 + y
-                if sy >= height:
-                    break
-                for x in range(8):
-                    sx = bx * 8 + x
-                    if sx >= width:
-                        continue
-                    v = int(math.floor(block[y * 8 + x] + 128.5))
-                    out[sy * width + sx] = 0 if v < 0 \
-                        else 255 if v > 255 else v
-    return bytes(out), width, height
+    nblocks = bw * bh
+    dc_sym, dc_len = dc_tab
+    ac_sym, ac_len = ac_tab
+    zz = np.zeros((nblocks, 64), dtype=np.int64)
+    dc_diffs = np.zeros(nblocks, dtype=np.int64)
+
+    # chunked bit reader: acc holds nbits of stream (zero-padded past
+    # the real data by pad_bits so a 16-bit LUT peek near the end stays
+    # valid; any symbol/value that would CONSUME pad bits is truncation)
+    acc = 0
+    nbits = 0
+    pad_bits = 0
+    pos = 0
+
+    def _refill():
+        nonlocal acc, nbits, pos, pad_bits
+        chunk = buf[pos:pos + 8]
+        if chunk:
+            acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            nbits += 8 * len(chunk)
+            pos += len(chunk)
+        else:
+            acc <<= 16
+            nbits += 16
+            pad_bits += 16
+
+    for bi in range(nblocks):
+        while nbits < 16:
+            _refill()
+        peek = (acc >> (nbits - 16)) & 0xFFFF
+        s = dc_sym[peek]
+        if s < 0:
+            raise JpegError("invalid Huffman code")
+        if dc_len[peek] > nbits - pad_bits:
+            raise JpegError("entropy data truncated")
+        nbits -= dc_len[peek]
+        if s:
+            while nbits < s:
+                _refill()
+            if s > nbits - pad_bits:
+                raise JpegError("entropy data truncated")
+            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+            nbits -= s
+            # T.81 F.2.2.1 EXTEND: s unsigned bits -> signed value
+            dc_diffs[bi] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        k = 1
+        row = zz[bi]
+        while k < 64:
+            while nbits < 16:
+                _refill()
+            peek = (acc >> (nbits - 16)) & 0xFFFF
+            rs = ac_sym[peek]
+            if rs < 0:
+                raise JpegError("invalid Huffman code")
+            if ac_len[peek] > nbits - pad_bits:
+                raise JpegError("entropy data truncated")
+            nbits -= ac_len[peek]
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:            # ZRL
+                    k += 16
+                    continue
+                break                    # EOB
+            k += run
+            if k > 63:
+                raise JpegError("AC index out of range")
+            while nbits < size:
+                _refill()
+            if size > nbits - pad_bits:
+                raise JpegError("entropy data truncated")
+            v = (acc >> (nbits - size)) & ((1 << size) - 1)
+            nbits -= size
+            row[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            k += 1
+        acc &= (1 << nbits) - 1 if nbits else 0   # keep acc bounded
+
+    zz[:, 0] = np.cumsum(dc_diffs)                # DC prediction
+    # dequantize + inverse zigzag: coef[ZIGZAG[j]] = zz[j] * q[j]
+    coef = np.zeros((nblocks, 64), dtype=np.float64)
+    coef[:, _NP_ZZ] = zz * np.asarray(q, dtype=np.float64)
+    # batched IDCT — same matrix products as the fDCT, transposed in
+    cm = _NP_CC * coef.reshape(nblocks, 8, 8).transpose(0, 2, 1)
+    out = _NP_COS @ cm @ _NP_COS.T                # [x][y]
+    pix = np.floor(out.transpose(0, 2, 1) + 128.5)  # [y][x], lvl shift
+    np.clip(pix, 0, 255, out=pix)
+    img = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(bh * 8, bw * 8).astype(np.uint8))
+    return img[:height, :width].tobytes(), width, height

@@ -88,6 +88,19 @@ def synth_png(doc_id: int) -> bytes:
                           filter_choice=lambda y: (doc_id + y) % 5)
 
 
+def fan_out_ids(df: DataFrame) -> DataFrame:
+    """Spread a narrow id frame across the session's cores before a
+    CPU-bound synthesis/codec stage (r14, guide §2.5 input parallelism
+    / §8 move-small-rows): at local SF every table is ONE parquet
+    split, so the whole encode->decode pipeline otherwise runs as a
+    single serial task. The exchange moves only the id column (8
+    bytes/row); at cluster scale the scan already has many splits and
+    this remains one cheap narrow exchange that guarantees codec
+    parallelism tracks cores, not file layout."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 PAYLOAD_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("payload", T.BinaryType()),
@@ -157,7 +170,8 @@ def write_payload_files(df: DataFrame, out_dir: str,
                 n += 1
             yield pd.DataFrame({"n": [n]})
 
-    total = (df.select(id_col).mapInPandas(w, schema="n long")
+    total = (fan_out_ids(df.select(id_col))
+             .mapInPandas(w, schema="n long")
              .agg(F.sum("n")).collect()[0][0])
     return int(total or 0)
 
@@ -177,7 +191,8 @@ def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "payload": [synth_png(int(d)) for d in ids],
             })
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return fan_out_ids(df.select(id_col)).mapInPandas(
+        gen, schema=PAYLOAD_SCHEMA)
 
 
 def decode_pixel_stats(df: DataFrame) -> DataFrame:

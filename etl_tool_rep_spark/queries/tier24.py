@@ -227,7 +227,8 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(stage, schema=schema)
+    return (M.fan_out_ids(d.select("doc_id"))
+            .mapInPandas(stage, schema=schema))
 
 
 # ---------------------------------------------------------------------------

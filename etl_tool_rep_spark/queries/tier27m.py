@@ -57,7 +57,8 @@ def _phash_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = M.fan_out_ids(
+        load(spark, sf_dir, "documents").select("doc_id"))
 
     def stage(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:

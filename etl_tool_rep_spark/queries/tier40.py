@@ -282,9 +282,11 @@ def jpeg_decode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               PIXEL_STATS_SCHEMA])
 
+    from ..operators.multimodal import fan_out_ids
+
     d = load(spark, sf_dir, "documents")
-    payloads = d.select("doc_id").mapInPandas(synth,
-                                              schema=PAYLOAD_SCHEMA)
+    payloads = fan_out_ids(d.select("doc_id")).mapInPandas(
+        synth, schema=PAYLOAD_SCHEMA)
     return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
 
 

@@ -151,3 +151,40 @@ def test_premature_eoi_raises_named_error():
     cut = enc[:at] + b"\xff\xd9"
     with pytest.raises(JpegError, match="EOI before SOS"):
         decode_jpeg_gray(bytes(cut))
+
+
+# -- round-14 vectorization: lock the numpy kernels to the round-13
+#    pure-Python implementation via golden digests --------------------
+
+
+def test_kernels_match_reference():
+    """The r14 batched-numpy encoder/decoder must be byte-identical to
+    the r13 per-pixel implementation. Golden SHA-256 digests were
+    computed from the r13 code (git 0c27773) on an adversarial image:
+    a steep gradient (dense ACs, chained DC prediction) plus random
+    impulses (long zero runs, ZRL), under both the all-ones table (the
+    oracle-exact path) and a real quantization table (full lossy
+    path). 200 further randomized shapes were cross-checked old-vs-new
+    when the kernels landed; this pins the contract durably."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260818)
+    w, h = 48, 40
+    buf = bytearray(((x * 5 + y * 11) % 256)
+                    for y in range(h) for x in range(w))
+    for _ in range(12):
+        buf[rng.randrange(w * h)] = rng.randrange(256)
+    px = bytes(buf)
+    q = [16, 11, 10, 16, 24, 40, 51, 61] * 8
+
+    e1 = encode_jpeg_gray(px, w, h)
+    e2 = encode_jpeg_gray(px, w, h, quant=q)
+    assert hashlib.sha256(e1).hexdigest() == (
+        "6775ab82803d592d57d55084ead080e19519a3aa9bf0d0d9face146ef140fb47")
+    assert hashlib.sha256(e2).hexdigest() == (
+        "308a8b7d981094dbec27d87bfd80fbb1f65501c8b4cfe90dee47519bf75c7fff")
+    assert hashlib.sha256(decode_jpeg_gray(e1)[0]).hexdigest() == (
+        "950fcfb94c58199903104513f8fa125315745c41672156b19ce191f4d718c87a")
+    assert hashlib.sha256(decode_jpeg_gray(e2)[0]).hexdigest() == (
+        "3a8668caf6a3666ee77df5617e2c7d4b064f7476fd4336e82dec662f7e45ee7e")
