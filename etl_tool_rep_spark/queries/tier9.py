@@ -142,28 +142,27 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins broadcast. Top-k per lang is a WindowGroupLimit (rank
     pushed into the shuffle), not a global sort.
     """
+    # r14: REVERTED to the r12 LEAD-window form. The r13 restructure
+    # (tokenize once into a pinned array frame, bigrams from adjacent
+    # array elements) measured 0.84x in interleaved A/B, and the
+    # unpinned array variant 0.76x: materializing/rebuilding the
+    # token-ARRAY corpus (wide array rows through transform/explode)
+    # costs more than the per-doc window sort it removed. The window
+    # shuffle on doc_id is partition-local and cheap at every scale;
+    # the array forms lose twice (array build + bigger explode input).
     d = load(spark, sf_dir, "documents")
-    # r13: tokenize ONCE into an array frame (pinned — it feeds the
-    # bigram and unigram censuses, which otherwise re-ran the
-    # tokenize per branch), and build bigrams from ADJACENT ARRAY
-    # ELEMENTS instead of lead() over a per-doc window — same pairs
-    # in the same order (regexp matches are in document order), no
-    # per-doc sort, no window exchange.
-    wa = (d.select(
+    words = d.select(
         "doc_id", "lang",
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"),
-                             F.lit(0)).alias("ws"))
-        .localCheckpoint(eager=False))
-    words = wa.select("lang", F.explode("ws").alias("w"))
-    bi = (wa.filter(F.size("ws") >= 2)
-          .select("lang", F.explode(F.expr(
-              "transform(sequence(0, size(ws) - 2),"
-              " i -> struct(ws[i] AS a, ws[i + 1] AS b))")).alias("p"))
-          .select("lang", "p.a", "p.b"))
+        F.posexplode(F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z]+"), F.lit(0)))
+        .alias("pos", "w"))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    bi = (words.select("lang", F.col("w").alias("a"),
+                       F.lead("w").over(wd).alias("b"))
+          .filter(F.col("b").isNotNull()))
     c_ab = bi.groupBy("lang", "a", "b").agg(
         F.count(F.lit(1)).alias("n_ab"))
-    c_w = (words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n_w"))
-           .localCheckpoint(eager=False))
+    c_w = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n_w"))
     tot = words.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     ca = c_w.select("lang", F.col("w").alias("a"),
                     F.col("n_w").alias("n_a"))
