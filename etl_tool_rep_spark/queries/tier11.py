@@ -296,6 +296,46 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_BOOT = 100
 
+_BOOT_OUT = "event_type: string, b: long, swl_p: long, n_p: long"
+
+
+def _poisson_partials(it):
+    """mapInArrow kernel: per Arrow batch, reproduce the exact
+    two-round mod-Mersenne LCG and Poisson(1) inverse CDF of the
+    oracle SQL over all {0..99} replicates at once (int64 matrix ops,
+    every product < 2^62), and emit PARTIAL weighted sums per
+    (event_type, replicate). Bit-identity with the explode/CASE form
+    is locked by tests/test_bootstrap_kernel.py."""
+    import numpy as np
+    import pyarrow as pa
+    A, M = 1103515245, 2147483647
+    th = np.array([367879, 735759, 919699, 981012, 996340, 999406],
+                  dtype=np.int64)
+    bs = np.arange(_N_BOOT, dtype=np.int64)
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        et = batch.column(0).to_numpy(zero_copy_only=False)
+        eid = batch.column(1).to_numpy(zero_copy_only=False)
+        xl = batch.column(2).to_numpy(zero_copy_only=False)
+        r1 = ((eid % M).astype(np.int64)[:, None] * A
+              + bs[None, :] * 12345) % M
+        u = (r1 * A + 12345) % M % 1000000
+        w = np.searchsorted(th, u, side="right")    # Poisson inv-CDF
+        uniq, inv = np.unique(et, return_inverse=True)
+        swl = np.empty((len(uniq), _N_BOOT), dtype=np.int64)
+        n = np.empty((len(uniq), _N_BOOT), dtype=np.int64)
+        for t in range(len(uniq)):
+            m = inv == t
+            swl[t] = (w[m] * xl[m, None]).sum(axis=0)
+            n[t] = w[m].sum(axis=0)
+        yield pa.record_batch([
+            pa.array(np.repeat(uniq, _N_BOOT)),
+            pa.array(np.tile(bs, len(uniq))),
+            pa.array(swl.reshape(-1)),
+            pa.array(n.reshape(-1)),
+        ], names=["event_type", "b", "swl_p", "n_p"])
+
 
 @query(
     "bootstrap_ci",
@@ -352,39 +392,38 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     # r13: scale x to an exact integer (x * 1e6, exact because x is
-    # decimal(18,6)) BEFORE the 100x replicate fan-out, so the hot
-    # aggregate sums LONGs instead of decimal(28,6) — a >18-precision
-    # decimal sum is BigDecimal-backed per update (guide §2.3
-    # narrower types / §1.2 per-task work). The decimal value is
-    # reconstructed exactly after the agg (swl * 10^-6 as decimal —
-    # same rational, same correctly-rounded double), verified
-    # bit-identical on every (event_type, b) group at sf0.1 and by
-    # the oracle at sf0.001/0.01/0.1.
-    reps = (e.select("event_type", "event_id",
-                     (F.col("value").cast("decimal(18,6)") * 1000000)
-                     .cast("long").alias("xl"))
-            .withColumn("b", F.explode(F.sequence(
-                F.lit(0), F.lit(_N_BOOT - 1)))))
-    # two-round LCG over the Mersenne prime: exact BIGINT arithmetic,
-    # bit-identical in any engine and ~8x faster than md5-derived
-    # uniforms (measured). Products stay < 2^62. Production without a
-    # cross-engine oracle would use xxhash64(event_id, b) directly.
-    u = ((((F.col("event_id") % 2147483647) * 1103515245
-           + F.col("b") * 12345)
-          % 2147483647 * 1103515245 + 12345)
-         % 2147483647 % 1000000)
-    # inverse-CDF of Poisson(1): P(0)=.3679 P(<=1)=.7358 P(<=2)=.9197 ...
-    w = (F.when(u < 367879, 0).when(u < 735759, 1).when(u < 919699, 2)
-         .when(u < 981012, 3).when(u < 996340, 4).when(u < 999406, 5)
-         .otherwise(6))
-    means = (reps.withColumn("w", w)
+    # decimal(18,6)) BEFORE the replicate fan-out, so the hot path
+    # sums LONGs instead of decimal(28,6). The double->decimal cast
+    # stays in the JVM (its shortest-repr HALF_UP rounding is the
+    # cross-engine contract); the kernel below sees only exact int64.
+    #
+    # r14 (guide §4.2): the 100x explode + per-row LCG/CASE ran as
+    # JVM expression codegen over |events| x 100 rows. A numpy
+    # mapInArrow kernel now reproduces the SAME exact integer LCG and
+    # inverse-CDF (int64 matrix ops, products < 2^62) and emits
+    # PARTIAL SUMS per (event_type, replicate) per Arrow batch — the
+    # 100x row fan-out never materializes, and the shuffle carries
+    # ~|types| x 100 rows per batch instead of the exploded stream.
+    # Bit-identity with the explode form is locked by
+    # tests/test_bootstrap_kernel.py (every (type, b) partial equal on
+    # the fixture) and the oracle at sf0.001/0.01/0.1.
+    #
+    # Overflow bound (ADVICE r13): |xl| < 10^12 (decimal(18,6)), w <=
+    # 6, Arrow batches <= 10^4 rows => per-batch partial < 6x10^16 <
+    # 2^63 with ~150x margin AT ANY SCALE (the bound is per batch,
+    # not per dataset); level 2 sums the partials in decimal(38,0).
+    narrow = e.select(
+        "event_type", "event_id",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long").alias("xl"))
+    means = (narrow.mapInArrow(_poisson_partials, schema=_BOOT_OUT)
              .groupBy("event_type", "b")
-             .agg(F.sum(F.col("w").cast("long") * F.col("xl"))
+             .agg(F.sum(F.col("swl_p").cast("decimal(38,0)"))
                   .alias("swl"),
-                  F.sum("w").alias("n"))
+                  F.sum("n_p").alias("n"))
              .filter(F.col("n") > 0)
              .select("event_type",
-                     ((F.col("swl").cast("decimal(38,0)")
+                     ((F.col("swl")
                        * F.expr("CAST(0.000001 AS DECIMAL(7,6))"))
                       .cast("double") / F.col("n")).alias("m")))
     return (means.groupBy("event_type")
