@@ -84,9 +84,12 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the 6th decimal quantize differently — invisible at sf0.1,
     ~4 rows at sf1 (caught by the scale rehearsal's oracle run). The
     floor idiom evaluates identical doubles identically in both
-    engines; the integer sum is exact (r13: the salted level-1 sums
-    below stretch its < 2^63 bound from ~sf1000 to ~sf1e5) and the
-    final long->double + /1e6 rounds once, identically.
+    engines; the integer sum is exact — the salted level-1 partials
+    bound each charge partial to ~sf1e3 (1e6-scaled terms; the
+    1e4-scaled columns reach ~sf1e5), and the level-2 sums are
+    decimal(38,0) for all five columns (r14) so nothing re-overflows
+    above level 1 — and the final ->double + /1e6 rounds once,
+    identically.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
@@ -99,11 +102,16 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level 2 sums the ~6k long partials into decimal(38,0) and
     # rescales — the same rational number, the same correctly-rounded
     # double, verified bit-identical per group and by the oracle.
-    # Overflow bound, level 1: |xl| <= 1e9 (price-scale), rows per
-    # (group, salt) ~ rows/6/1024 — the partial stays < 2^63 through
-    # ~sf1e5 (100 TB) with ~90x margin; level 2 is decimal(38,0).
-    # The salt key derives from data columns (deterministic under
-    # task retry, guide §2.5), never rand().
+    # Overflow bound, level 1: the 1e4-scaled columns keep |xl| <=
+    # 1e9 (price-scale), so their partials stay < 2^63 through
+    # ~sf1e5 (100 TB) with ~90x margin; p_charge sums 1e6-scaled
+    # micro-units (~100x wider terms), so ITS level-1 bound is
+    # ~sf1e3 — still far past any rehearsal, and r14 made level 2
+    # decimal(38,0) for ALL five sum columns including charge (the
+    # r13 form left sum_charge's level 2 as a long sum, which is
+    # what the r13 ADVICE flagged). The salt key derives from data
+    # columns (deterministic under task retry, guide §2.5), never
+    # rand().
     cnt = F.sum("p_cnt")
     D = "decimal(38,0)"
     scale4 = F.expr("CAST(0.0001 AS DECIMAL(5,4))")
@@ -131,7 +139,8 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_price.alias("sum_base_price"),
         (F.sum(F.col("p_disc").cast(D)) * scale4).cast("double")
         .alias("sum_disc_price"),
-        (F.sum("p_charge").cast("double") / 1e6).alias("sum_charge"),
+        (F.sum(F.col("p_charge").cast(D)).cast("double") / 1e6)
+        .alias("sum_charge"),
         (sum_qty / cnt).alias("avg_qty"),
         (sum_price / cnt).alias("avg_price"),
         ((F.sum(F.col("p_dsc").cast(D)) * scale4).cast("double") / cnt)

@@ -15,6 +15,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _shuffle_width_default() -> int:
+    """Shuffle width tracks the declared core count (floor 16).
+    Tolerates a non-numeric SPARK_GRAFT_CPUS instead of failing every
+    import with a bare ValueError (r13 ADVICE)."""
+    try:
+        return max(int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32"),
+                   16)
+    except ValueError:
+        return 32
+
+
 _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -28,8 +40,7 @@ _DEFAULTS: dict[str, str] = {
     # headroom, and the 32 default stands elsewhere. On a cluster,
     # override via spark-submit --conf (partitions should then track
     # data volume, not this local heuristic).
-    "spark.sql.shuffle.partitions": str(max(
-        int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32"), 16)),
+    "spark.sql.shuffle.partitions": str(_shuffle_width_default()),
     # 64 MiB input splits keep ~100 TB scans at ~1.6M tasks w/ AQE
     # coalescing; at local SF it just avoids tiny-partition overhead.
     "spark.sql.files.maxPartitionBytes": "134217728",
