@@ -151,16 +151,22 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = (s.groupBy("value")
               .agg(F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("c1v"),
                    F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("c2v")))
+    # r14 census pins: the before-plan scanned events 8x — the prefix
+    # sum's internal frame is planned twice (pin=True, the
+    # percentile_window recipe) and g (support-sized, 4 narrow cols)
+    # feeds BOTH the max aggregate and the argmax filter
     cum = (grouped_prefix_sum(per_v, [], [F.asc("value")],
                               lead="value",
-                              sums={"c1": "c1v", "c2": "c2v"})
+                              sums={"c1": "c1v", "c2": "c2v"},
+                              pin=True)
            .select("value", "c1", "c2"))
     n = s.agg(F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("n1"),
               F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("n2"))
     g = (cum.crossJoin(F.broadcast(n))  # 1-row scalar attach
             .select("value", "n1", "n2",
                     F.abs(F.col("c1") * F.col("n2")
-                          - F.col("c2") * F.col("n1")).alias("gap")))
+                          - F.col("c2") * F.col("n1")).alias("gap"))
+         .localCheckpoint(eager=False))
     mx = g.groupBy().agg(F.max("gap").alias("max_gap"))
     return (g.crossJoin(F.broadcast(mx))  # 1-row scalar attach
              .filter(F.col("gap") == F.col("max_gap"))

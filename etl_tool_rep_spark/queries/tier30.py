@@ -213,7 +213,12 @@ def decision_stump_train(spark: SparkSession,
     cand = (ranked.join(
         F.broadcast(ks),
         F.col("rk") == F.expr("(k * n) DIV 10"))
-        .select(F.col("cents").alias("thr")).distinct())
+        .select(F.col("cents").alias("thr")).distinct()
+        # r14 census pin: cand is <= 9 rows but its subtree is the
+        # whole bucketed two-phase rank (global_row_number's internal
+        # frame is planned twice: offsets + join) — pinning here cuts
+        # the before-plan's 6 orders scans to 3
+        .localCheckpoint(eager=False))
     split = (F.broadcast(cand.crossJoin(stats))
              .join(lab, F.lit(True))
              .groupBy("thr", "pos", "n")
@@ -442,6 +447,12 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("tie"),
         F.sum(F.when(F.col("grp") == "hi", 1).otherwise(0))
         .cast("bigint").alias("hi"))
+    # r14: measured pin=True here and REVERTED (0.95x over 9
+    # interleaved iterations) — the cents census is one cheap
+    # map-side-combined aggregation, so materializing it costs more
+    # than the duplicate plan it saves (the r13 chi2 lesson; contrast
+    # ks_test, where the same pin wins because its census subtree is
+    # bigger and a second consumer chain hangs off the result)
     cum = grouped_prefix_sum(per, [], [F.asc("cents")],
                              lead="cents", sums={"cum": "tie"})
     # r_lo (min ordinal rank of the tied block) = cum - tie + 1

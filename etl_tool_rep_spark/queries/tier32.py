@@ -418,7 +418,14 @@ def stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "   * ((CAST(2 AS DOUBLE) * (pos - posl)"
                 "       * ((n - nl) - (pos - posl)))"
                 "      / (CAST(n - nl AS DOUBLE) * (n - nl)))"
-                ") * 1000000000.0 + 0.5) AS BIGINT)")))
+                ") * 1000000000.0 + 0.5) AS BIGINT)"))
+            # r14 census pin: gain is <= |folds| x |candidates| (~45)
+            # rows, but its subtree (5x fold fan-out + per-fold window
+            # + candidate/stats joins) is the whole training cost and
+            # was re-planned by THREE consumers (mx, best, rule) — 10
+            # orders scans in the before-plan. Different projections
+            # per consumer => the r13 pin heuristic applies.
+            .localCheckpoint(eager=False))
     mx = (gain.groupBy("f").agg(F.max("gain_q").alias("gmax"))
           .withColumnRenamed("f", "mf"))
     best = (gain.join(mx, (F.col("f") == F.col("mf"))
