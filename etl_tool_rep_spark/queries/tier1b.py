@@ -365,7 +365,11 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     names = (p.select("p_name").distinct()
               .select(F.col("p_name").alias("_n"),
-                      F.length("p_name").alias("_l")))
+                      F.length("p_name").alias("_l"))
+              # r14 census pin: vocabulary-sized, consumed by pieces,
+              # probes AND the identity arm of dmap under different
+              # projections (3 part scans in the before-plan)
+              .localCheckpoint(eager=False))
 
     # even partition: piece i of an l-char string starts (1-based) at
     # 1 + i*(l div NP) + min(i, l mod NP), length (l div NP) + [i < l mod NP]
@@ -414,8 +418,12 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.greatest("_ns", "_nr").alias("_nb"))
             .distinct())
     d = F.levenshtein("_na", "_nb", TAU)
-    verified = cand.select("_na", "_nb", d.alias("_d")) \
-                   .filter(F.col("_d") >= 0)
+    # r14 census pin: verified is result-sized, but its subtree (the
+    # PassJoin piece/probe explode join + banded DP) is the whole
+    # matching cost and the dmap union consumes it TWICE
+    verified = (cand.select("_na", "_nb", d.alias("_d"))
+                .filter(F.col("_d") >= 0)
+                .localCheckpoint(eager=False))
     # directed map: both orientations plus exact-name self pairs
     dmap = (verified
             .union(verified.select(F.col("_nb"), F.col("_na"), "_d"))

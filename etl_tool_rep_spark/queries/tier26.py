@@ -384,14 +384,22 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qterm("dv", "dv1")).alias("num1"),
         F.sum(qterm("dv", "dv2")).alias("num2"),
         F.sum(qterm("dv", "dv3")).alias("num3"))
-    parts = [
-        q.select("prio", "n_days", F.lit(k).alias("lag"),
-                 F.col(f"num{k}").alias("num"), "den")
-        for k in (1, 2, 3)]
-    un = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    # r14: the 3-way union re-planned q's subtree (daily census +
+    # stats join + lag window) once per lag — 6 orders scans in the
+    # before-plan. Exploding a 3-element struct array over the 5-row
+    # q frame emits the same rows (same values; order differs only in
+    # row interleaving, which the hash gate is insensitive to) from
+    # ONE plan.
+    un = q.select(
+        "prio", "n_days", "den",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"),
+                     F.col(f"num{k}").alias("num"))
+            for k in (1, 2, 3)])).alias("_t"))
     return un.select(
-        "prio", "lag", "n_days",
-        F.expr("CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+        "prio", F.col("_t.lag").alias("lag"), "n_days",
+        F.expr("CAST(FLOOR(CAST(_t.num AS DOUBLE)"
+               " / CAST(den AS DOUBLE)"
                " * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0")
         .alias("acf"))
 

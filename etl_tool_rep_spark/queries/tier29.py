@@ -358,7 +358,12 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.expr("CAST((9 * (n_cal + 1) + 9) DIV 10"
                                 " AS BIGINT)"),
                          F.col("n_cal")),
-                     F.col("s"))).alias("q_cents")))
+                     F.col("s"))).alias("q_cents"))
+            # r14 census pin: |prio| rows, but the subtree (calibration
+            # join + per-group rank window) was re-planned by BOTH the
+            # test aggregate and the final attach join — 5 orders
+            # scans in the before-plan
+            .localCheckpoint(eager=False))
     test = (base.filter(~F.col("is_cal"))
             .join(F.broadcast(qhat), "prio")
             .groupBy("prio")
