@@ -252,7 +252,11 @@ def changepoint_detect(spark: SparkSession,
                             "   / (n - i)"
                             " - CAST(st AS DOUBLE) * st / n"
                             ") / 10000.0 + 0.5) AS BIGINT)")
-                     .alias("gain_q")))
+                     .alias("gain_q"))
+             # r14 census pin: |prio| x |days| rows, but the daily
+             # census + three windows above were re-planned by THREE
+             # consumers (mx, best, detail) — the stump_cv pattern
+             .localCheckpoint(eager=False))
     mx = (gains.groupBy("prio").agg(F.max("gain_q").alias("gmax"))
           .withColumnRenamed("prio", "mprio"))
     best = (gains.join(F.broadcast(mx),

@@ -469,7 +469,11 @@ def cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); the output is the |types|^2 dimension matrix; sizes
     attach by broadcast."""
     ev = load(spark, sf_dir, "events")
-    e = ev.select("user_id", "event_type").distinct()
+    # r14 census pin: the distinct (user, type) frame feeds the size
+    # census AND both self-join sides (4 events scans + 3 distinct
+    # recomputes in the before-plan)
+    e = (ev.select("user_id", "event_type").distinct()
+         .localCheckpoint(eager=False))
     sz = (e.groupBy("event_type")
           .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
     a = e.alias("a")
